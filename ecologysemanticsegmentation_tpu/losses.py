@@ -1,0 +1,369 @@
+"""Loss library: the 7-loss tuple, composite set-theory losses, union transform.
+
+Pure jittable ``jnp`` functions, NHWC layout (``(B, H, W, C)`` with one channel
+per organ).  This is a behavioral rebuild of the reference's
+``loss_functions.py`` / ``loss_composite.py`` / ``utils/subsets_union.py`` —
+numerics match the reference's *call sites*, not its signature names, because
+the reference has an argument-order quirk that is load-bearing:
+
+* Signatures read ``(gt, pred)`` but every call site passes ``(pred, gt)``
+  (e.g. reference ``train_multiclass.py:139-141`` calls
+  ``losses_fn(outputs, labels)``).
+* For multi-organ inputs the per-channel recursion swaps the arguments again
+  (``train_multiclass.py:260-262``), so the roles are restored.
+* For single-organ inputs there is no recursion, so gt/pred stay swapped all
+  the way into the loss formulas.  :func:`seven_losses` reproduces both cases.
+
+Other reproduced quirks (reference ``loss_functions.py``):
+
+* Predictions are sigmoided *before* the losses, yet the "BCE" path applies a
+  BCE-*with-logits* formula to those probabilities (``__init__.py:24`` +
+  ``train_multiclass.py:134``).
+* Probability-target cross entropy over a single channel is identically zero
+  (``log_softmax`` of a width-1 axis is 0) — the ``ce`` slot of the tuple is
+  exactly 0 for every call the reference ever makes.
+* Dice denominators use ``sum(gt + pred*pred)`` (``p*p``, not ``p``), the
+  background dice denominator carries an extra factor of 2
+  (``loss_functions.py:58``), and all dice-family losses return the *negative*
+  coefficient.
+
+The 7-tuple ordering is ``[ce, bce, focal, dice, generalized_dice, twersky,
+focal_dice]`` (reference ``train_multiclass.py:294``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPS = 1e-7
+
+# Index names for the 7-loss tuple.
+LOSS_NAMES = ("ce", "bce", "focal", "dice", "generalized_dice", "twersky", "focal_dice")
+
+
+def binary_cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Numerically-stable BCE-with-logits, mean reduction.
+
+    Equivalent of the reference's module-level ``torch.nn.BCEWithLogitsLoss``
+    (``ecology_semantic_segmentation/__init__.py:24``):
+    ``mean(max(x, 0) - x*y + log(1 + exp(-|x|)))``.
+    """
+    x, y = logits, targets
+    return jnp.mean(jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x))))
+
+
+def _bce_per_channel(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Per-channel BCE-with-logits over NHWC; returns shape (C,)."""
+    v = jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    return jnp.mean(v, axis=(0, 1, 2))
+
+
+def prob_cross_entropy(pred: jax.Array, target_probs: jax.Array, axis: int = -1) -> jax.Array:
+    """Probability-target cross entropy: ``mean(-sum(p * log_softmax(x), axis))``.
+
+    General form of ``F.cross_entropy(input, float_target)``.  On a width-1
+    channel axis this is identically 0 — the reference's ``ce`` slot
+    (``loss_functions.py:29``).
+    """
+    logp = jax.nn.log_softmax(pred, axis=axis)
+    return jnp.mean(-jnp.sum(target_probs * logp, axis=axis))
+
+
+def _seven_per_channel(
+    gt: jax.Array, pred: jax.Array, background_weight: jax.Array | float = 0.0
+) -> jax.Array:
+    """Compute the 7-loss tuple independently per channel.
+
+    ``gt``/``pred`` are NHWC.  Every reduction the reference performs over a
+    ``(B, 1, H, W)`` slice becomes a per-channel reduction over ``(B, H, W)``
+    here, so this is the vectorized equivalent of the reference's Python
+    recursion over organs (``train_multiclass.py:260-262``) — one fused XLA
+    reduction per quantity instead of dozens of small kernels.
+
+    Returns an array of shape ``(7, C)``.
+    """
+    bg = background_weight
+    red = (0, 1, 2)  # reduce over batch + spatial, keep channels
+
+    gt = gt.astype(jnp.float32)
+    pred = pred.astype(jnp.float32)
+
+    # --- ce: probability-target CE over a 1-channel axis == 0 identically.
+    ce = jnp.zeros(gt.shape[-1], jnp.float32)
+
+    # --- bce: BCEWithLogits applied to (already-sigmoided) predictions
+    # (reference loss_functions.py:26-44, bce=True path).
+    bce = _bce_per_channel(pred, gt)
+
+    # --- focal (loss_functions.py:46-50), factor=1 at the losses_fn call site.
+    fl = -jnp.power(1.0 - pred, 1.5) * jnp.log(pred + EPS)
+    fl = fl - bg * jnp.power(pred, 1.5) * jnp.log(1.0 - pred + EPS)
+    focal = jnp.mean(fl, axis=red)
+
+    g1, p1 = gt, pred
+    g0, p0 = 1.0 - gt, 1.0 - pred
+
+    s_g1p1 = jnp.sum(g1 * p1, axis=red)
+    s_g0p0 = jnp.sum(g0 * p0, axis=red)
+    s_g1_p1sq = jnp.sum(g1 + p1 * p1, axis=red)
+    s_g0_p0sq = jnp.sum(g0 + p0 * p0, axis=red)
+
+    # --- dice (standard form, loss_functions.py:52-66): note the extra factor
+    # of 2 on the *background denominator* — a reference quirk we keep.
+    dice_fg = (2.0 * s_g1p1 + EPS) / (s_g1_p1sq + EPS)
+    dice_bg = (2.0 * s_g0p0 + EPS) / (2.0 * s_g0_p0sq + EPS)
+    dice = -dice_fg - bg * dice_bg
+
+    # --- generalized dice (loss_functions.py:67-80): no 2x numerator.
+    gd_fg = (s_g1p1 + EPS) / (s_g1_p1sq + EPS)
+    gd_bg = (s_g0p0 + EPS) / (s_g0_p0sq + EPS)
+    generalized_dice = -(gd_fg + bg * gd_bg)
+
+    # --- twersky (loss_functions.py:82-94), alpha=0.5 beta=0.3.
+    alpha, beta = 0.5, 0.3
+    tw_fg_d = s_g1p1 + alpha * jnp.sum(p0 * g1, axis=red) + beta * jnp.sum(p1 * g0, axis=red)
+    tw_fg = -(s_g1p1 + EPS) / (tw_fg_d + EPS)
+    tw_bg_d = s_g0p0 + alpha * jnp.sum(p1 * g0, axis=red) + beta * jnp.sum(p0 * g1, axis=red)
+    tw_bg = -(s_g0p0 + EPS) / (tw_bg_d + EPS)
+    twersky = tw_fg + bg * tw_bg
+
+    # --- focal dice (loss_functions.py:96-108), gamma=1.8; here the bg
+    # denominator has NO factor 2 (unlike `dice` above) — another kept quirk.
+    gamma = 1.8
+    fdc_fg = (2.0 * s_g1p1 + EPS) / (s_g1_p1sq + EPS)
+    fdc_bg = (2.0 * s_g0p0 + EPS) / (s_g0_p0sq + EPS)
+    fd_fg = -jnp.power(1.0 - fdc_fg, gamma) * jnp.log(fdc_fg + EPS)
+    fd_bg = -jnp.power(1.0 - fdc_bg, gamma) * jnp.log(fdc_bg + EPS)
+    focal_dice = fd_fg + bg * fd_bg
+
+    # classification_dice_loss multiplier: factor(=10) * 0.33
+    # (loss_functions.py:110-117 with train_multiclass.py:272's factor=10).
+    m = 10.0 * 0.33
+    return jnp.stack(
+        [ce, bce, focal, dice * m, generalized_dice * m, twersky * m, focal_dice * m]
+    )
+
+
+def seven_losses(
+    x: jax.Array, g: jax.Array, background_weight: jax.Array | float = 0.0
+) -> jax.Array:
+    """The reference's per-script ``losses_fn`` (``train_multiclass.py:253-303``).
+
+    ``x`` = sigmoided predictions, ``g`` = labels, both NHWC.  Returns the
+    ``(7,)`` loss vector summed over organs (reference sums per-organ tuples,
+    ``train_multiclass.py:262``).
+
+    Argument-role parity (see module docstring): multi-organ restores
+    (gt=labels, pred=preds); single-organ keeps them swapped.
+    """
+    if x.shape[-1] > 1:
+        gt, pred = g, x
+    else:
+        gt, pred = x, g
+    per = _seven_per_channel(gt, pred, background_weight)
+    return jnp.sum(per, axis=-1)
+
+
+def seven_losses_composite_general(
+    x: jax.Array,
+    g: jax.Array,
+    background_weight: jax.Array | float = 0.0,
+    relative_set_ratios: Sequence[float] = (1.0, 0.43197708, 0.22319692),
+    early_stop_weights: np.ndarray | None = None,
+) -> jax.Array:
+    """The generalized composite set-theory ``losses_fn`` (``loss_composite.py:22-81``).
+
+    For every superset index ``idx`` and subset index ``jdx > idx`` adds
+    intersection, regularized-union, difference-set and Russel's-paradox loss
+    terms, weighted by ``1/relative_set_ratios`` with optional early-stop
+    jitter.
+
+    ``early_stop_weights``: host-computed multiplicative jitters of shape
+    ``(num_pairs, 3)`` — the ``(1 - early_stopped * choice([0,1]) * rand())``
+    factors for ``(w_idx, w_jdx, w_diff)`` per (idx, jdx) pair
+    (``loss_composite.py:48-52``).  ``None`` means no jitter (not early
+    stopped).  Host-side randomness keeps the jitted graph static, matching
+    the reference's ``np.random`` (host) semantics.
+    """
+    C = g.shape[-1]
+    ratios = list(relative_set_ratios)
+
+    base = seven_losses(x, g, background_weight)
+    # LossList doubling: `return_losses += return_losses` for C==1
+    # (loss_composite.py:42); the C>1 branch of loss_composite recurses into
+    # per-channel calls that each double, so the sum is doubled either way.
+    total = base * 2.0
+
+    pair_idx = 0
+    for idx in range(C - 1):
+        for jdx in range(idx + 1, C):
+            if early_stop_weights is None:
+                j_i = j_j = j_d = 1.0
+            else:
+                j_i, j_j, j_d = (float(v) for v in early_stop_weights[pair_idx])
+            pair_idx += 1
+
+            w_idx = (1.0 / ratios[idx]) * j_i
+            w_jdx = (1.0 / ratios[jdx]) * j_j
+            w_diff = (1.0 / (ratios[idx] - ratios[jdx])) * j_d
+
+            xs = x[..., idx : idx + 1]
+            xj = x[..., jdx : jdx + 1]
+            gs = g[..., idx : idx + 1]
+            gj = g[..., jdx : jdx + 1]
+            xdiff = jnp.abs(xs - xj)
+            gdiff = jnp.abs(gs - gj)
+
+            # Rigid-subset intersection / union (loss_composite.py:56-61).
+            total = total + intersection_loss(xs, xj, gj) * w_jdx
+            total = total + union_loss(xs, xj, gs) * w_idx
+            # Difference-set terms (loss_composite.py:63-72).
+            total = total + intersection_loss(xs, xdiff, gdiff) * w_diff
+            total = total + union_loss(xs, xdiff, gs) * w_idx
+            # Russel's paradox terms (loss_composite.py:74-81).
+            total = total + intersection_loss(xs, xdiff * xs, gdiff) * w_diff
+            total = total + union_loss(xs, xdiff * xs, gs) * (w_idx * w_idx * w_jdx)
+    return total
+
+
+def intersection_loss(superset_p: jax.Array, set_p: jax.Array, set_g: jax.Array) -> jax.Array:
+    """``losses_fn(superset_p * set_p, set_g)`` (reference ``loss_composite.py:84-85``)."""
+    return seven_losses(superset_p * set_p, set_g)
+
+
+def union_loss(superset_p: jax.Array, set_p: jax.Array, superset_g: jax.Array) -> jax.Array:
+    """Numerically-regularized union loss (reference ``loss_composite.py:89-92``).
+
+    Note the reference passes ``(superset_g, union_expr)`` — i.e. the *label*
+    in the prediction slot — so for single-channel inputs the swap inside
+    :func:`seven_losses` puts the union expression back into the gt role.
+    """
+    union_expr = superset_p * (1.0 - set_p) + (superset_p * set_p + set_p) * 0.5
+    return seven_losses(superset_g, union_expr)
+
+
+def sequential_densenet_composite(
+    x: jax.Array,
+    g: jax.Array,
+    background_weight: jax.Array | float = 0.0,
+    early_stop_jitters: np.ndarray | None = None,
+) -> jax.Array:
+    """The sequential trainer's hardcoded 3-organ composite branch
+    (reference ``train_multiclass.py:296-340`` / the per-script ``losses_fn``
+    ``composite_set_theory`` path with weights 4.789…, 4.480…).
+
+    ``early_stop_jitters``: shape ``(2,)`` multiplicative factors for the
+    ventral/dorsal weights, or ``None`` for 1.0.
+    """
+    base = seven_losses(x, g, background_weight)
+
+    wb_g, wb_p = g[..., 0:1], x[..., 0:1]
+    vs_g, vs_p = g[..., 1:2], x[..., 1:2]
+    ds_g, ds_p = g[..., 2:3], x[..., 2:3]
+
+    jv, jd = (1.0, 1.0) if early_stop_jitters is None else tuple(float(v) for v in early_stop_jitters)
+    ventral_w = 4.789727146487483 * jv
+    dorsal_w = 4.480348563949717 * jd
+
+    ventral_neg = seven_losses(vs_g, wb_p * vs_p)
+    dorsal_neg = seven_losses(ds_g, wb_p * ds_p)
+    ventral_pos = seven_losses(wb_g, wb_p * (1.0 - vs_p) + (wb_p * vs_p + vs_p) * 0.5)
+    dorsal_pos = seven_losses(wb_g, wb_p * (1.0 - ds_p) + (wb_p * ds_p + ds_p) * 0.5)
+
+    r1 = base + ventral_w * (ventral_neg + ventral_pos)
+    # Reference quirk: the dorsal term reuses ventral_side_positive_loss
+    # (train_multiclass.py:331-334 zips y over the *negative* list and z over
+    # ventral positive) — kept for parity.
+    r2 = base + dorsal_w * (dorsal_neg + ventral_pos)
+    return r1 + r2
+
+
+def composite_jitters(
+    rng: np.random.RandomState | None, num_pairs: int, early_stopped: bool
+) -> np.ndarray:
+    """Host-side early-stop jitter factors: ``1 - early_stopped * choice([0,1]) * rand()``
+    (reference ``loss_composite.py:48-52``)."""
+    if not early_stopped:
+        return np.ones((num_pairs, 3), np.float64)
+    rng = rng or np.random.RandomState()
+    return 1.0 - rng.randint(0, 2, (num_pairs, 3)) * rng.rand(num_pairs, 3)
+
+
+def dice_score(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    """Per-organ evaluation Dice = ``-dice_loss(pred, gt, background_weight=0)``
+    exactly as the eval harness computes it (reference
+    ``test_multiclass.py:80-82``; signature swap means gt/pred roles follow the
+    call site: ``dice_loss(outputs_organ, gt_organ)`` → gt:=pred, pred:=gt).
+
+    Inputs NHWC; returns shape ``(C,)`` per-organ scores in [0, 1]-ish.
+    """
+    g, p = pred.astype(jnp.float32), gt.astype(jnp.float32)  # call-site swap
+    red = (0, 1, 2)
+    num = 2.0 * jnp.sum(g * p, axis=red) + EPS
+    den = jnp.sum(g + p * p, axis=red) + EPS
+    return num / den
+
+
+def return_union_sets_descending_order(
+    ann: jax.Array, exclude_indices: Sequence[int] = (0,), reverse: bool = False
+) -> jax.Array:
+    """Union-set label transform over the organ (last) axis, NHWC.
+
+    Forward: channel ``k`` becomes the clipped union of channels ``k..C-1``
+    (training-target transform, reference ``utils/subsets_union.py:18-22``,
+    applied at ``train_multiclass.py:110``).  Channels listed in
+    ``exclude_indices`` are left untouched.
+
+    Reverse: adjacent absolute differences recover organ sets from nested
+    unions at test time (``utils/subsets_union.py:23-28``), iterating from the
+    second-to-last channel down so each step sees the *already updated* next
+    channel.
+    """
+    C = ann.shape[-1]
+    excl = set(int(i) for i in exclude_indices)
+    if not reverse:
+        out = ann
+        for idx in range(C - 1):
+            if idx in excl:
+                continue
+            union = jnp.sum(ann[..., idx:], axis=-1)
+            out = out.at[..., idx].set(union)
+        return jnp.clip(out, max=1)
+    out = ann
+    for idx in range(C - 2, -1, -1):
+        if idx in excl:
+            continue
+        out = out.at[..., idx].set(jnp.abs(out[..., idx] - out[..., idx + 1]))
+    return out
+
+
+def binary_cross_entropy_list(gts: Sequence[jax.Array], preds: Sequence[jax.Array]) -> jax.Array:
+    """Deep-supervision BCE over a pyramid of (gt, pred) pairs.
+
+    Reference ``loss_functions.py:13-20`` allocates a fixed 6-slot accumulator
+    (a 6-level pyramid: full + [128, 64, 32, 16, 8]); we keep that contract and
+    reject longer lists.
+    """
+    assert len(gts) <= 6, "reference binary_cross_entropy_list supports at most 6 levels"
+    total = jnp.zeros((), jnp.float32)
+    for y, p in zip(gts, preds):
+        total = total + binary_cross_entropy(p, y)
+    return total
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def relative_ratios(segments: jax.Array, num_classes: int) -> jax.Array:
+    """Per-organ positive-pixel ratios, the source of the hardcoded loss
+    weights (reference ``fish_dataset.py:117-141``; values cited at
+    ``train_multiclass.py:255-257``).  ``segments`` NHWC binary; returns (C,)
+    normalized so the max organ is 1.
+    """
+    del num_classes
+    sums = jnp.sum(segments, axis=(0, 1, 2))
+    ratios = sums / jnp.maximum(jnp.max(sums), 1.0)
+    return ratios

@@ -1,0 +1,21 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX imports.
+
+This is the TPU-native analog of a fake distributed backend (SURVEY.md §4.5):
+``xla_force_host_platform_device_count=8`` gives every test a multi-device
+mesh to validate shardings without TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
