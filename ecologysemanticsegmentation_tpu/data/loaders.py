@@ -1,0 +1,353 @@
+"""Host-side dataset loaders: index-building scanners + per-item decoders.
+
+Four on-disk formats, matching the reference's loader inventory
+(SURVEY.md §2.1).  Design split (TPU-first): all *dirtiness* — missing files,
+unreadable images, zero-area polygons — is handled at **index-build time** on
+the host; ``__getitem__`` produces dense fixed-shape float32 NHWC arrays only,
+so nothing ragged ever reaches device code.
+
+Formats:
+
+* ``alvaradolab`` — COCO-Dataset-Generator ``.txt`` polygons next to ``.jpg``
+  images (reference ``fish_coco_annotator.py:21-176``): line 0 = object count,
+  line 2 = "H W", then 4-line records ``organ / area / flat-xy-polygon / _``
+  starting at line 4.
+* ``ml_training_set`` — folder-per-organ grayscale masks
+  (reference ``fish_segmentation.py:26-203``): mask = resize → grayscale →
+  bitwise_not → binarize, area-threshold zero-fill.
+* ``suim`` — ``images/`` paired with mask dirs by stem; fish class extracted
+  by the HSV yellow range (20,100,100)-(30,255,255)
+  (reference ``fish_suim.py:19-120``).
+* ``deepfish_segclsloc`` — ``*.jpg`` + ``json/<stem>__labels.json`` polygon
+  regions, polygons with ≤5 points dropped
+  (reference ``fish_deepfish_segment.py:19-131``).
+
+Label conventions kept: masks are {0, 1} float32 with ``-1`` for
+missing/unavailable organs.  Deviation (documented): the reference's COCO
+loader writes its −1 sentinels through a uint8 view, silently turning
+"too-small polygon" and "absent organ" channels into all-255 (=1.0) labels
+(reference ``fish_coco_annotator.py:132-138``); we use a true −1 everywhere
+instead of reproducing that overflow.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Callable
+
+import cv2
+import numpy as np
+
+SAMPLE_LIMIT = 60  # reference SAMPLE truncation (fish_coco_annotator.py:32-33)
+SAMPLE_LIMIT_FOLDERS = 20  # ml_training_set variant (fish_segmentation.py:159-160)
+
+
+@dataclass
+class IndexedDataset:
+    """A scanned dataset: an index of items plus a decode function.
+
+    ``decode(i) -> (image_f32_HWC_01, mask_f32_HWC, path)``; masks are
+    ``(H, W, num_organs)`` in {0, 1, -1}.
+    """
+
+    name: str
+    items: list
+    decode_fn: Callable[[int], tuple[np.ndarray, np.ndarray, str]]
+    organs: tuple[str, ...] = ("whole_body",)
+    augment_flag: bool = True
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, idx: int):
+        return self.decode_fn(idx)
+
+    def set_augment_flag(self, flag: bool) -> None:
+        """Reference API parity (``fish_coco_annotator.py:94-95``); in this
+        framework augmentation runs on device in the input pipeline, but the
+        flag still gates it per split."""
+        self.augment_flag = flag
+
+
+def _imread(path: str) -> np.ndarray | None:
+    """RAW-aware imread (reference ``fish_segmentation.py:17-24`` uses rawpy
+    for ``.arw``; rawpy isn't available here so RAW files are skipped at scan
+    time)."""
+    if path.lower().endswith(".arw"):
+        return None
+    img = cv2.imread(path)
+    return img
+
+
+def _resize(img: np.ndarray, size: int) -> np.ndarray:
+    return cv2.resize(img, (size, size))
+
+
+# ---------------------------------------------------------------- alvaradolab
+
+def _parse_coco_txt(path: str) -> list[tuple[str, float, np.ndarray]] | None:
+    """Parse one COCO-Dataset-Generator txt: [(organ, area, poly_xy), ...]."""
+    try:
+        with open(path) as f:
+            lines = [x.strip() for x in f.readlines()]
+        records = []
+        for idx in range(4, len(lines), 4):
+            organ = lines[idx].replace(" ", "_")
+            area = float(lines[idx + 1])
+            coords = [int(float(x)) for x in lines[idx + 2].split(" ")]
+            poly = np.array(
+                [(coords[i], coords[i + 1]) for i in range(0, len(coords) - 1, 2)],
+                dtype=np.float64,
+            )
+            records.append((organ, area, poly))
+        return records
+    except Exception:
+        return None
+
+
+def get_alvaradolab_data(
+    dtype: str,
+    path: str,
+    folder_path: str,
+    img_shape: int,
+    min_segment_positivity_ratio: float,
+    organs: tuple[str, ...] = ("whole_body",),
+    sample_dataset: bool = False,
+    bbox_dir: str | None = None,
+    augment_flag: bool = True,
+) -> IndexedDataset:
+    assert "segmentation/composite" in dtype
+    del bbox_dir
+    images = sorted(glob.glob(os.path.join(folder_path, path, "*.jpg")))
+    if sample_dataset:
+        images = images[:SAMPLE_LIMIT]
+
+    items: list[tuple[str, list]] = []
+    for img_path in images:
+        txt_path = img_path[: -len(".jpg")] + ".txt"
+        if not os.path.exists(txt_path):
+            continue
+        probe = cv2.imread(img_path)
+        if probe is None:
+            continue
+        oh, ow = probe.shape[:2]
+        records = _parse_coco_txt(txt_path)
+        if not records:
+            continue
+        polys = []
+        for organ, area, poly in records:
+            if organs is not None and organ not in organs:
+                continue
+            if area == 0:
+                continue
+            scale = np.array([img_shape / ow, img_shape / oh])
+            polys.append((organ, (poly * scale).astype(np.int32)))
+        if not polys:
+            continue
+        items.append((img_path, polys))
+
+    num_organs = len(organs)
+
+    def decode(i: int):
+        img_path, polys = items[i]
+        image = _resize(cv2.imread(img_path), img_shape)
+        mask = np.zeros((img_shape, img_shape, num_organs), np.float32)
+        seen = set()
+        for organ, poly in polys:
+            oi = organs.index(organ)
+            seen.add(oi)
+            chan = np.zeros((img_shape, img_shape), np.uint8)
+            cv2.fillPoly(chan, [poly], 255)
+            if chan.sum() / 255.0 < min_segment_positivity_ratio * img_shape * img_shape:
+                mask[:, :, oi] = -1.0  # too-small organ -> ignore
+            else:
+                mask[:, :, oi] = chan / 255.0
+        for oi in range(num_organs):
+            if oi not in seen:
+                mask[:, :, oi] = -1.0  # absent organ -> ignore
+        return image.astype(np.float32) / 255.0, mask, img_path
+
+    return IndexedDataset("alvaradolab", items, decode, tuple(organs), augment_flag)
+
+
+# ------------------------------------------------------------ ml_training_set
+
+def get_ml_training_set_data(
+    dtype: str,
+    path: str,
+    folder_path: str,
+    img_shape: int,
+    min_segment_positivity_ratio: float,
+    organs: tuple[str, ...] | None = None,
+    sample_dataset: bool = False,
+    bbox_dir: str | None = None,
+    augment_flag: bool = True,
+) -> IndexedDataset:
+    assert dtype == "segmentation/composite"
+    folders = [
+        x for x in sorted(glob.glob(os.path.join(folder_path, path, "*"))) if os.path.isdir(x)
+    ]
+    if bbox_dir is not None:
+        folders = [os.path.join(folder_path, bbox_dir)] + folders
+
+    organs = tuple(organs) if organs is not None else ("whole_body",)
+    items: list[tuple[str, dict[str, str]]] = []
+    for directory in folders:
+        images = sorted(glob.glob(os.path.join(directory, "original image", "*")))
+        if sample_dataset:
+            images = images[:SAMPLE_LIMIT_FOLDERS]
+        for image_path in images:
+            stem = ".".join(os.path.basename(image_path).split(".")[:-1])
+            segment_paths: dict[str, str] = {}
+            for ann_path in sorted(glob.glob(os.path.join(directory, "*", stem + "*"))):
+                organ_dir = os.path.basename(os.path.dirname(ann_path))
+                if organ_dir == "original image":
+                    continue
+                organ = organ_dir.replace(" ", "_")
+                if organ in organs:
+                    segment_paths.setdefault(organ, ann_path)
+            if not segment_paths:
+                continue
+            if cv2.imread(image_path) is None:
+                continue
+            # Prune entries with zero readable organ masks (reference
+            # fish_segmentation.py:40-55).
+            if not any(_imread(p) is not None for p in segment_paths.values()):
+                continue
+            items.append((image_path, segment_paths))
+
+    def decode(i: int):
+        image_path, segment_paths = items[i]
+        image = _resize(_imread(image_path), img_shape)
+        mask = np.full((img_shape, img_shape, len(organs)), -1.0, np.float32)
+        for oi, organ in enumerate(organs):
+            seg_path = segment_paths.get(organ)
+            if seg_path is None:
+                continue
+            seg = _imread(seg_path)
+            if seg is None:
+                continue
+            seg = _resize(seg, img_shape)
+            seg = cv2.cvtColor(seg, cv2.COLOR_BGR2GRAY)
+            seg = cv2.bitwise_not(seg)
+            seg = np.where(seg > 0, 255, 0).astype(np.uint8)
+            if seg.sum() / 255.0 < min_segment_positivity_ratio * img_shape * img_shape:
+                seg[:] = 0  # area threshold zero-fill (fish_segmentation.py:120-122)
+            mask[:, :, oi] = seg / 255.0
+        return image.astype(np.float32) / 255.0, mask, image_path
+
+    return IndexedDataset("ml_training_set", items, decode, organs, augment_flag)
+
+
+# ----------------------------------------------------------------------- suim
+
+def get_suim_data(
+    dtype: str,
+    path: str,
+    folder_path: str,
+    img_shape: int,
+    min_segment_positivity_ratio: float,
+    organs: tuple[str, ...] = ("whole_body",),
+    sample_dataset: bool = False,
+    bbox_dir: str | None = None,
+    augment_flag: bool = True,
+) -> IndexedDataset:
+    assert dtype == "segmentation"
+    del bbox_dir, min_segment_positivity_ratio
+    pairs: dict[str, dict] = {}
+    for p in sorted(glob.glob(os.path.join(folder_path, path, "*", "*"))):
+        stem = ".".join(os.path.basename(p).split(".")[:-1])
+        entry = pairs.setdefault(stem, {"image": None, "segments": []})
+        if f"{os.sep}images{os.sep}" in p:
+            entry["image"] = p
+        else:
+            entry["segments"].append(p)
+
+    items = []
+    for stem, entry in pairs.items():
+        if entry["image"] is None or len(entry["segments"]) != 1:
+            continue
+        if cv2.imread(entry["image"]) is None or cv2.imread(entry["segments"][0]) is None:
+            continue
+        items.append((entry["image"], entry["segments"][0]))
+    if sample_dataset:
+        items = items[:SAMPLE_LIMIT]
+
+    def decode(i: int):
+        image_path, seg_path = items[i]
+        image = _resize(cv2.imread(image_path), img_shape)
+        seg = cv2.imread(seg_path)
+        seg = cv2.inRange(
+            cv2.cvtColor(seg, cv2.COLOR_BGR2HSV), (20, 100, 100), (30, 255, 255)
+        )
+        seg = _resize(seg, img_shape)
+        mask = (seg[..., None] / 255.0).astype(np.float32)
+        return image.astype(np.float32) / 255.0, mask, image_path
+
+    return IndexedDataset("suim", items, decode, tuple(organs), augment_flag)
+
+
+# ------------------------------------------------------------------- deepfish
+
+def get_deepfish_segclsloc_data(
+    dtype: str,
+    path: str,
+    folder_path: str,
+    img_shape: int,
+    min_segment_positivity_ratio: float,
+    organs: tuple[str, ...] = ("whole_body",),
+    sample_dataset: bool = False,
+    bbox_dir: str | None = None,
+    augment_flag: bool = True,
+) -> IndexedDataset:
+    assert dtype == "segmentation"
+    del bbox_dir, min_segment_positivity_ratio
+    images = [
+        x
+        for x in sorted(glob.glob(os.path.join(folder_path, path, "*")))
+        if not os.path.isdir(x)
+    ]
+    if sample_dataset:
+        images = images[:SAMPLE_LIMIT]
+
+    items = []
+    for img_path in images:
+        ann = os.path.join(
+            os.path.dirname(img_path),
+            "json",
+            os.path.basename(img_path).replace(".jpg", "__labels.json"),
+        )
+        if os.path.exists(ann):
+            items.append((img_path, ann))
+
+    def decode(i: int):
+        img_path, ann_path = items[i]
+        raw = cv2.imread(img_path)
+        image = _resize(raw, img_shape)
+        seg = np.zeros(raw.shape[:2], np.uint8)
+        with open(ann_path) as f:
+            data = json.load(f)
+        for label in data.get("labels", []):
+            pts = [
+                np.array([(p["x"], p["y"]) for p in region], np.int32).reshape(-1, 1, 2)
+                for region in label.get("regions", [])
+            ]
+            pts = [p for p in pts if len(p) > 5]
+            if pts:
+                cv2.fillPoly(seg, pts=pts, color=255)
+        seg = _resize(seg, img_shape)
+        mask = (seg[..., None] / 255.0).astype(np.float32)
+        return image.astype(np.float32) / 255.0, mask, img_path
+
+    return IndexedDataset("deepfish_segclsloc", items, decode, tuple(organs), augment_flag)
+
+
+LOADERS = {
+    "alvaradolab": get_alvaradolab_data,
+    "ml_training_set": get_ml_training_set_data,
+    "suim": get_suim_data,
+    "deepfish_segclsloc": get_deepfish_segclsloc_data,
+}

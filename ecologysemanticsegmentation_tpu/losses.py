@@ -205,7 +205,9 @@ def seven_losses_composite_general(
             if early_stop_weights is None:
                 j_i = j_j = j_d = 1.0
             else:
-                j_i, j_j, j_d = (float(v) for v in early_stop_weights[pair_idx])
+                j_i = early_stop_weights[pair_idx][0]
+                j_j = early_stop_weights[pair_idx][1]
+                j_d = early_stop_weights[pair_idx][2]
             pair_idx += 1
 
             w_idx = (1.0 / ratios[idx]) * j_i
@@ -266,7 +268,10 @@ def sequential_densenet_composite(
     vs_g, vs_p = g[..., 1:2], x[..., 1:2]
     ds_g, ds_p = g[..., 2:3], x[..., 2:3]
 
-    jv, jd = (1.0, 1.0) if early_stop_jitters is None else tuple(float(v) for v in early_stop_jitters)
+    if early_stop_jitters is None:
+        jv, jd = 1.0, 1.0
+    else:
+        jv, jd = early_stop_jitters[0], early_stop_jitters[1]
     ventral_w = 4.789727146487483 * jv
     dorsal_w = 4.480348563949717 * jd
 

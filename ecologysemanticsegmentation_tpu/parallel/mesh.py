@@ -1,0 +1,85 @@
+"""Device mesh + sharding utilities (GSPMD, jax.sharding).
+
+The reference is strictly single-process single-GPU (SURVEY.md §2.5 — no DDP,
+no collectives anywhere).  The TPU-native equivalent scales the same train
+step over a ``jax.sharding.Mesh``:
+
+* ``data`` axis — batch-dimension sharding.  Gradients are summed by XLA's
+  automatic collectives (no NCCL-style calls in user code), and BatchNorm
+  batch statistics become *globally* synchronized for free, because
+  ``jnp.mean`` over a sharded batch axis is a global mean under GSPMD —
+  this supersedes the reference's single-device BN and its ``batch > 1``
+  assert (``train_multiclass.py:131``).
+* ``model`` axis — optional tensor parallelism: wide conv kernels are sharded
+  over output channels; XLA inserts the all-gathers/reduce-scatters over ICI.
+
+The mesh degrades cleanly to a single chip (mesh of 1), which is the exact
+1:1 replacement of the reference's execution model.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    n_devices: int | None = None, model_parallel: int = 1, devices=None
+) -> Mesh:
+    """Create a ``(data, model)`` mesh over available devices.
+
+    ``model_parallel=1`` gives pure data parallelism.  ICI-friendliness: the
+    model axis is the fastest-varying so tensor-parallel collectives ride
+    neighboring chips.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    grid = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params_for_model_axis(
+    params, mesh: Mesh, min_channels: int = 256
+) -> "jax.tree_util.PyTreeDef":
+    """Build a sharding tree for a param pytree: conv kernels whose output
+    channel dim is wide and divisible by the model axis get sharded over it
+    (tensor parallelism); everything else is replicated.
+
+    XLA then partitions the matmuls/convs and inserts the collectives — the
+    scaling-book recipe: pick a mesh, annotate, let the compiler do comms.
+    """
+    model_size = mesh.shape["model"]
+
+    def rule(path, x):
+        if (
+            model_size > 1
+            and hasattr(x, "ndim")
+            and x.ndim == 4  # HWIO conv kernel
+            and x.shape[-1] >= min_channels
+            and x.shape[-1] % model_size == 0
+        ):
+            return NamedSharding(mesh, P(None, None, None, "model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def local_batch_to_global(batch_size: int, mesh: Mesh) -> int:
+    """Round a requested batch size up to a multiple of the data axis."""
+    d = mesh.shape["data"]
+    return int(math.ceil(batch_size / d) * d)

@@ -1,0 +1,89 @@
+"""Checkpointing with the reference's epoch-addressable filename layout.
+
+Layout parity (reference ``train_multiclass.py:163-165,305-335``):
+``<models_root>/<EXPTNAME>/channels<MAXCHANNELS>/img<IMGSIZE>/<EXPTNAME>_epoch<N>.ckpt``
+with resume = glob + parse epoch from filename + argmax, explicit
+``--start_epoch`` override, corrupt/incompatible checkpoints skipped
+(reference ``test_multiclass.py:153-160``), and missing checkpoints degrading
+to epoch −1 fresh start (``train_multiclass.py:332-335``).
+
+Serialization is flax msgpack of the full train state (params, batch_stats,
+opt_state) — unlike the reference, resume restores the optimizer too, so LR
+does not need manual re-specification (reference README.md:43 quirk).
+Writes are atomic (tmp + rename) for preemption safety.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import traceback
+from typing import Any
+
+import jax
+from flax import serialization
+
+
+def checkpoint_path(save_dir: str, expt_name: str, epoch: int) -> str:
+    return os.path.join(save_dir, f"{expt_name}_epoch{epoch}.ckpt")
+
+
+def save_checkpoint(save_dir: str, expt_name: str, epoch: int, state: Any) -> str:
+    os.makedirs(save_dir, exist_ok=True)
+    path = checkpoint_path(save_dir, expt_name, epoch)
+    data = serialization.to_bytes(jax.device_get(state))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return path
+
+
+def _epoch_of(path: str) -> int | None:
+    m = re.search(r"epoch(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else None
+
+
+def list_checkpoints(save_dir: str, expt_name: str) -> list[tuple[int, str]]:
+    """All (epoch, path) pairs, ascending by epoch."""
+    paths = glob.glob(os.path.join(save_dir, f"{expt_name}*"))
+    pairs = [(e, p) for p in paths if (e := _epoch_of(p)) is not None]
+    return sorted(pairs)
+
+
+def load_recent_model(
+    save_dir: str, template_state: Any, expt_name: str, epoch: int | None = None
+) -> tuple[int, Any]:
+    """Resume semantics of reference ``load_recent_model``
+    (``train_multiclass.py:305-335``): latest epoch by default, a specific
+    epoch on request, and (−1, template) when nothing loads."""
+    try:
+        pairs = list_checkpoints(save_dir, expt_name)
+        if not pairs:
+            return -1, template_state
+        if epoch is None:
+            start_epoch, path = pairs[-1]
+        else:
+            matches = [(e, p) for e, p in pairs if e == epoch]
+            if not matches:
+                return -1, template_state
+            start_epoch, path = matches[0]
+        with open(path, "rb") as f:
+            state = serialization.from_bytes(template_state, f.read())
+        print(f"Used latest model file: {path}")
+        return start_epoch, state
+    except Exception:
+        traceback.print_exc()
+        return -1, template_state
+
+
+def load_checkpoint_file(path: str, template_state: Any) -> Any | None:
+    """Load one checkpoint; None on corruption/incompatibility (eval-sweep
+    skip contract, reference ``test_multiclass.py:153-160``)."""
+    try:
+        with open(path, "rb") as f:
+            return serialization.from_bytes(template_state, f.read())
+    except Exception:
+        traceback.print_exc()
+        return None

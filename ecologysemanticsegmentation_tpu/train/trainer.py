@@ -1,0 +1,207 @@
+"""The jitted train/eval steps and train-state plumbing.
+
+TPU-first core design (SURVEY.md §7): ONE jitted ``train_step`` contains
+device-side augmentation, the union-set label transform, model forward +
+backward, the full 7-loss tuple, and the Adam update.  Everything the
+reference does as dozens of small Python-level kernels per batch
+(``train_multiclass.py:105-148``) is a single XLA program here.
+
+Scalar knobs that change every epoch (learning rate, background weight,
+curriculum gates, composite jitters) enter as *traced arguments*, so the step
+compiles exactly once per (model, shape) config.
+
+Under a data-sharded batch (see :mod:`..parallel.mesh`) GSPMD turns the loss
+reductions into global reductions: gradient all-reduce and cross-replica
+BatchNorm fall out automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..data.augment import augment_batch
+from ..losses import (
+    LOSS_NAMES,
+    binary_cross_entropy,
+    dice_score,
+    return_union_sets_descending_order,
+    seven_losses,
+    seven_losses_composite_general,
+    sequential_densenet_composite,
+)
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(lr: float = 3e-4) -> optax.GradientTransformation:
+    """Adam with an injectable learning rate (epoch schedules are applied by
+    overwriting the hyperparam, exactly like torch schedulers mutate the
+    optimizer's lr)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+
+
+def create_train_state(model, rng, input_shape, tx) -> TrainState:
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        jnp.zeros(input_shape, jnp.float32),
+        train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def _prepare_labels(labels: jax.Array) -> jax.Array:
+    """Post-augmentation label prep: binarize positives (reference
+    ``fish_dataset.py:161``, applied after augmentation) then the union-set
+    transform (``train_multiclass.py:110``)."""
+    labels = jnp.where(labels > 0, 1.0, labels)
+    return return_union_sets_descending_order(labels)
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    composite_mode: str = "none",
+    augment: bool = True,
+    loss_formula: str = "multiclass",
+) -> Callable:
+    """Build the jitted train step.
+
+    ``composite_mode``: "none" | "general" | "sequential" — which losses_fn
+    variant supplies the 7-tuple (reference per-script vs loss_composite.py).
+    ``loss_formula``: "multiclass" -> ``focal_dice_w*fd + bce_w*bce +
+    gdice_w*(gd+tw)`` (``train_multiclass.py:145``); "sequential" -> same
+    gates, BCE term first (``..._densenetloss.py:151``) — numerically equal,
+    kept for documentation.
+
+    Step signature:
+    ``step(state, batch, rng, bg_weight, gates3, lr, jitters) -> (state, metrics)``
+    where ``gates3 = [focal_dice_w, bce_l_w, generalized_dice_w]`` and
+    ``jitters`` is the composite early-stop jitter array (pass ones when not
+    early-stopped; ignored for composite_mode="none").
+    """
+    assert composite_mode in ("none", "general", "sequential")
+
+    def seven_fn(probs, labels, bg_weight, jitters):
+        if composite_mode == "general":
+            return seven_losses_composite_general(
+                probs, labels, bg_weight, early_stop_weights=jitters
+            )
+        if composite_mode == "sequential":
+            return sequential_densenet_composite(
+                probs, labels, bg_weight, early_stop_jitters=jitters
+            )
+        return seven_losses(probs, labels, bg_weight)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng, bg_weight, gates3, lr, jitters):
+        images, labels = batch["image"], batch["label"]
+        if augment:
+            aug_rng = jax.random.fold_in(rng, 0)
+            images, labels = augment_batch(aug_rng, images, labels)
+        labels = _prepare_labels(labels)
+        images = images.astype(jnp.bfloat16)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(rng, 1)},
+            )
+            probs = jax.nn.sigmoid(out.astype(jnp.float32))
+            seven = seven_fn(probs, labels, bg_weight, jitters)
+            loss = (
+                gates3[0] * seven[6]          # focal_dice
+                + gates3[1] * seven[1]        # bce
+                + gates3[2] * (seven[4] + seven[5])  # generalized_dice + twersky
+            )
+            return loss, (seven, mutated["batch_stats"])
+
+        (loss, (seven, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = {name: seven[i] for i, name in enumerate(LOSS_NAMES)}
+        metrics["loss"] = loss
+        metrics["lr"] = jnp.asarray(lr, jnp.float32)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=params,
+                batch_stats=new_stats,
+                opt_state=opt_state,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_eval_step(model, apply_union_reverse: bool = False) -> Callable:
+    """Jitted eval step: forward + sigmoid + per-organ Dice + val BCE.
+
+    ``apply_union_reverse``: the sequential evaluator transforms predictions
+    back from nested unions to organ sets before scoring (reference
+    ``test_multiclass_sequential_densenetloss.py:66``).
+    """
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        images = batch["image"].astype(jnp.bfloat16)
+        labels = jnp.where(batch["label"] > 0, 1.0, batch["label"])
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+        probs = jax.nn.sigmoid(out.astype(jnp.float32))
+        scored = probs
+        if apply_union_reverse:
+            scored = return_union_sets_descending_order(probs, reverse=True)
+        dice = dice_score(scored, labels)
+        # Val loss = BCE(+dice) as the reference's val loop computes it
+        # (train_multiclass.py:195-205 uses the bce path on sigmoided outputs).
+        bce = binary_cross_entropy(probs, labels)
+        return {"probs": probs, "dice": dice, "bce": bce}
+
+    return eval_step
+
+
+def make_forward(model) -> Callable:
+    """Plain jitted inference forward (sigmoid probabilities)."""
+
+    @jax.jit
+    def forward(state: TrainState, images):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images.astype(jnp.bfloat16),
+            train=False,
+        )
+        return jax.nn.sigmoid(out.astype(jnp.float32))
+
+    return forward

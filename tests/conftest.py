@@ -7,10 +7,15 @@ mesh to validate shardings without TPU hardware.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# NOTE: this container pins JAX_PLATFORMS=axon via sitecustomize, so the env
+# var cannot be overridden — jax.config is the only effective switch.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

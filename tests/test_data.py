@@ -1,0 +1,167 @@
+"""Dataset layer tests: loader round-trips on materialized fixtures, splits,
+pipeline, and the device augmentation."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ecologysemanticsegmentation_tpu import data
+from ecologysemanticsegmentation_tpu.config import EnvConfig
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fishdata")
+    registry = data.materialize_to_disk(str(root), num_samples=8, size=96)
+    return str(root), registry
+
+
+ORGANS3 = ("whole_body", "ventral_side", "dorsal_side")
+
+
+def test_synthetic_dataset_nested_organs():
+    ds = data.get_synthetic_data(img_shape=96, organs=ORGANS3, num_samples=4)
+    img, mask, path = ds[0]
+    assert img.shape == (96, 96, 3) and img.dtype == np.float32
+    assert mask.shape == (96, 96, 3)
+    assert 0 <= img.min() and img.max() <= 1
+    # nesting: organ k+1 subset of organ k
+    assert np.all(mask[..., 1] <= mask[..., 0] + 1e-6)
+    assert np.all(mask[..., 2] <= mask[..., 1] + 1e-6)
+    assert mask[..., 0].sum() > 50  # a fish actually exists
+
+
+def test_alvaradolab_loader_roundtrip(fixture_root):
+    root, _ = fixture_root
+    ds = data.get_alvaradolab_data(
+        "segmentation/composite", "coco", root, 96, 0.0075, organs=ORGANS3
+    )
+    assert len(ds) == 8
+    img, mask, path = ds[0]
+    assert img.shape == (96, 96, 3) and mask.shape == (96, 96, 3)
+    assert mask[..., 0].max() == 1.0  # body polygon rasterized
+    # rasterized polygon should roughly match the source mask support
+    assert (mask[..., 0] > 0).sum() > 100
+
+
+def test_ml_training_set_loader_roundtrip(fixture_root):
+    root, _ = fixture_root
+    ds = data.get_ml_training_set_data(
+        "segmentation/composite", "mlts", root, 96, 0.0075, organs=ORGANS3
+    )
+    assert len(ds) == 8
+    img, mask, _ = ds[0]
+    assert mask.shape == (96, 96, 3)
+    assert set(np.unique(mask[..., 0])).issubset({0.0, 1.0})
+    assert mask[..., 0].sum() > 100
+
+
+def test_suim_loader_roundtrip(fixture_root):
+    root, _ = fixture_root
+    ds = data.get_suim_data("segmentation", "suim", root, 96, 0.0075)
+    assert len(ds) == 8
+    img, mask, _ = ds[0]
+    assert mask.shape == (96, 96, 1)
+    assert mask.sum() > 100  # HSV yellow range extracted the fish
+
+
+def test_deepfish_loader_roundtrip(fixture_root):
+    root, _ = fixture_root
+    ds = data.get_deepfish_segclsloc_data("segmentation", "deepfish", root, 96, 0.0075)
+    assert len(ds) == 8
+    img, mask, _ = ds[0]
+    assert mask.shape == (96, 96, 1)
+    assert mask.sum() > 100
+
+
+def test_loader_masks_agree_across_formats(fixture_root):
+    """The same synthetic fish must round-trip near-identically through the
+    polygon (COCO) and mask-folder (mlts) formats."""
+    root, _ = fixture_root
+    coco = data.get_alvaradolab_data(
+        "segmentation/composite", "coco", root, 96, 0.0075, organs=ORGANS3
+    )
+    mlts = data.get_ml_training_set_data(
+        "segmentation/composite", "mlts", root, 96, 0.0075, organs=ORGANS3
+    )
+    # match by stem
+    by_stem = {os.path.basename(p).split(".")[0]: i for i, (p, _) in enumerate(mlts.items)}
+    _, m_coco, p_coco = coco[0]
+    stem = os.path.basename(p_coco).split(".")[0]
+    _, m_mlts, _ = mlts[by_stem[stem]]
+    body_c, body_m = m_coco[..., 0] > 0, m_mlts[..., 0] > 0
+    iou = (body_c & body_m).sum() / max((body_c | body_m).sum(), 1)
+    assert iou > 0.85, f"cross-format IoU too low: {iou}"
+
+
+def test_fish_dataset_splits(fixture_root):
+    root, registry = fixture_root
+    sizes = {}
+    for split in ("train", "val", "test"):
+        ds = data.FishDataset(
+            dataset_type=("segmentation/composite", "segmentation"),
+            img_shape=96,
+            organs=ORGANS3,
+            split=split,
+            registry=registry,
+        )
+        sizes[split] = len(ds)
+        if len(ds):
+            img, mask, _ = ds[0]
+            # binarization: positives exactly 1, ignore stays -1
+            vals = set(np.unique(mask))
+            assert vals.issubset({0.0, 1.0, -1.0})
+    # 4 sources x 8 items; 85/5/10 contiguous split per source
+    assert sizes["train"] == 4 * 6
+    assert sizes["test"] == 4 * 2
+    assert sizes["val"] == 0  # int(8*0.05) == 0, like the reference arithmetic
+
+
+def test_batcher_drops_single_sample_batch():
+    ds = data.get_synthetic_data(img_shape=64, organs=("whole_body",), num_samples=5)
+    b = data.Batcher(ds, batch_size=2, shuffle=False)
+    batches = list(b)
+    assert len(batches) == 2  # 5 -> [2, 2], trailing 1 dropped
+    assert batches[0]["image"].shape == (2, 64, 64, 3)
+    assert batches[0]["label"].shape == (2, 64, 64, 1)
+
+
+def test_batcher_shuffle_deterministic():
+    ds = data.get_synthetic_data(img_shape=32, organs=("whole_body",), num_samples=8)
+    a = [b["paths"] for b in data.Batcher(ds, 4, shuffle=True, seed=3)]
+    b = [b["paths"] for b in data.Batcher(ds, 4, shuffle=True, seed=3)]
+    assert a == b
+
+
+def test_augment_batch_shapes_and_mask_geometry():
+    import jax
+
+    ds = data.get_synthetic_data(img_shape=64, organs=ORGANS3, num_samples=4)
+    batch = next(iter(data.Batcher(ds, 4, shuffle=False)))
+    key = jax.random.PRNGKey(0)
+    img, mask = data.augment_batch(key, batch["image"], batch["label"])
+    assert img.shape == batch["image"].shape
+    assert mask.shape == batch["label"].shape
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_augment_deterministic_per_key():
+    import jax
+
+    ds = data.get_synthetic_data(img_shape=32, organs=("whole_body",), num_samples=2)
+    batch = next(iter(data.Batcher(ds, 2, shuffle=False)))
+    k = jax.random.PRNGKey(5)
+    a1, m1 = data.augment_batch(k, batch["image"], batch["label"])
+    a2, m2 = data.augment_batch(k, batch["image"], batch["label"])
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_get_split_datasets_synthetic():
+    cfg = EnvConfig(sample=True, img_size=48, organs=ORGANS3)
+    train, val, test = data.get_split_datasets(cfg, synthetic=True)
+    assert len(train) > 0 and len(test) > 0
+    img, mask, _ = train[0]
+    assert mask.shape == (48, 48, 3)
