@@ -1,0 +1,104 @@
+"""Benchmark: flagship train-step throughput on the local accelerator.
+
+Measures steady-state images/sec of the FULL jitted training step (device
+augmentation + union transform + DeepLabV3+ resnet34 fwd/bwd + 7-loss tuple +
+Adam) at IMG_SIZE=256, bf16 compute — the reference's trained configuration
+(``train_multiclass.py:347-353``).
+
+Prints ONE JSON line:
+  {"metric": "train_images_per_sec_per_chip", "value": N, "unit": "img/s",
+   "vs_baseline": N / H100_TORCH_ESTIMATE}
+
+The reference publishes no numbers (BASELINE.md) and this host has no GPU, so
+``vs_baseline`` is computed against a *documented assumption*:
+H100_TORCH_ESTIMATE = 600 img/s for the PyTorch reference's train loop
+(DeepLabV3+ resnet34, 256px, fp16/AMP, including its host-side albumentations
+input pipeline — the reference's known bottleneck).  vs_baseline > 1.0 means
+faster than the assumed H100 reference; the BASELINE.json north star is 5.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+H100_TORCH_ESTIMATE = 600.0  # img/s, documented assumption (see module docstring)
+
+IMG = 256
+ORGANS = 3
+
+
+def main(batch_size: int | None = None, steps: int = 20, warmup: int = 3) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ecologysemanticsegmentation_tpu.models import build_model
+    from ecologysemanticsegmentation_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    n_chips = jax.device_count()
+    platform = jax.devices()[0].platform
+    if batch_size is None:
+        batch_size = 64 * n_chips if platform == "tpu" else 8
+
+    model = build_model("deeplabv3plus", num_classes=ORGANS, encoder_name="resnet34")
+    tx = make_optimizer(3e-4)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, IMG, IMG, 3), tx)
+    train_step = make_train_step(model, tx, augment=True)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(batch_size, IMG, IMG, 3), jnp.float32),
+        "label": jnp.asarray(
+            (rng.rand(batch_size, IMG, IMG, ORGANS) > 0.5).astype(np.float32)
+        ),
+    }
+    gates3 = jnp.asarray([1.0, 1.0, 1.0], jnp.float32)
+    jitters = jnp.ones((2,), jnp.float32)
+
+    def step(state, i):
+        return train_step(
+            state, batch, jax.random.PRNGKey(i), 0.3, gates3, 3e-4, jitters
+        )
+
+    for i in range(warmup):
+        state, metrics = step(state, i)
+    # NOTE: force a device->host value fetch, not just block_until_ready —
+    # on the experimental remote-TPU platform block_until_ready returns
+    # before execution completes, which silently inflates throughput ~50x.
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, warmup + i)
+    final_loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
+
+    imgs_per_sec = batch_size * steps / dt
+    per_chip = imgs_per_sec / n_chips
+    result = {
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "img/s",
+        "vs_baseline": round(per_chip / H100_TORCH_ESTIMATE, 4),
+        "extra": {
+            "platform": platform,
+            "n_chips": n_chips,
+            "batch_size": batch_size,
+            "img_size": IMG,
+            "steps": steps,
+            "step_ms": round(1000 * dt / steps, 2),
+            "assumed_h100_torch_img_per_sec": H100_TORCH_ESTIMATE,
+        },
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,12 @@
-"""Device-side augmentation pipeline (jnp, jit/vmap-able).
+"""Device-side augmentation pipeline (jnp, fully batched, jit-able).
 
 TPU-native rebuild of the reference's host-side albumentations pipeline
 (reference ``dataset/augment.py:22-90``).  The reference decodes + augments
 per-sample in DataLoader worker processes — its known bottleneck (OOM notes at
 ``fish_coco_annotator.py:166-172``).  Here the whole pipeline is a pure
-function of a PRNG key that runs *on device, batched*, fused into the input
-side of the train step: no host round-trip, no per-sample Python.
+function of a PRNG key fused into the jitted train step.
 
-Structure mirrors the reference's probability tree:
+Probability tree mirrors the reference:
 
 * outer ``p=0.7`` gate over [ OneOf{defocus, gaussian-blur, zoom-blur, fog}
   (p=.4) → OneOf{color-jitter, brightness-contrast, gamma, emboss} (p=.4) →
@@ -17,123 +16,128 @@ Structure mirrors the reference's probability tree:
   reference ``Arotate`` ``augment.py:77-90``), tone curve (p=.5).
 
 Geometric ops (crop/flip/rotate) are joint over image+mask; photometric ops
-touch the image only — same contract as albumentations' ``mask=`` pass-through.
+touch the image only.
 
-Documented approximations (parity is tolerance-based per SURVEY.md §7):
-fog uses a low-frequency noise field instead of rasterized circles; CLAHE is
-a clip-limited *global* histogram equalization (tile-adaptive version tracked
-in ops/); tone curve is a single-control-point quadratic Bezier.  Everything
-runs under ``vmap`` with per-sample keys, so conditionals lower to
-``select`` — both branches execute, which is the right trade on TPU (static
-graph, no divergence).
+Performance design (measured: a per-sample vmapped version of this pipeline
+ran at 852 ms/step for batch 64@256 on v5e vs 13.8 ms for the bare model —
+this rewrite exists to close that gap):
+
+* every op runs on the whole NHWC batch; per-sample randomness enters as
+  ``(B,1,1,1)`` parameter tensors and ``where`` selects — pure VPU work,
+* RGB↔HSV is vectorized channel math (the vmapped-per-pixel version compiled
+  to enormous select chains),
+* geometric warps (rotate, resized-crop) use **batch-uniform** parameters so
+  the bilinear gather has indices shared across the batch — one
+  ``x[:, yi, xi]`` gather moving contiguous (B, C) blocks per index instead
+  of 64 divergent per-sample gathers.  Per-sample application is still gated
+  by a Bernoulli ``where``.  This is a documented deviation: the reference
+  draws geometric parameters per *sample*; here per *batch* (fresh draw every
+  step, so per-image marginals over an epoch match),
+* channel shuffle is a (B,3,3) permutation-matrix einsum (MXU),
+* CLAHE builds its histogram from a 4× subsampled luminance via a one-hot
+  reduction and applies the LUT with ``take_along_axis`` on a 32-entry table,
+* zoom blur is a pyramid of static center-crop resizes (banded-matrix
+  einsums via :func:`..ops.resize.resize_bilinear`).
+
+Remaining documented approximations (parity is tolerance-based per
+SURVEY.md §7): fog uses a low-frequency noise field instead of rasterized
+circles; CLAHE is clip-limited *global* (not tile-adaptive) equalization;
+tone curve is a single-control-point quadratic Bezier.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.resize import resize_bilinear
+
+_LUMA = np.array([0.299, 0.587, 0.114], np.float32)
+
 
 # --------------------------------------------------------------- conv helpers
 
 
-def _depthwise_conv(img: jax.Array, kernel: jax.Array) -> jax.Array:
-    """img HWC, kernel (kh, kw). SAME padding, per-channel."""
-    c = img.shape[-1]
-    k = jnp.broadcast_to(kernel[:, :, None, None], kernel.shape + (1, c))
-    out = jax.lax.conv_general_dilated(
-        img[None], k.astype(img.dtype),
-        window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
+def _depthwise_conv(x: jax.Array, kernel: np.ndarray) -> jax.Array:
+    """x NHWC, kernel (kh, kw) static. SAME padding, per-channel."""
+    c = x.shape[-1]
+    k = jnp.broadcast_to(jnp.asarray(kernel)[:, :, None, None], kernel.shape + (1, c))
+    return jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
     )
-    return out[0]
 
 
-def _disk_kernel(radius: int) -> jnp.ndarray:
+def _disk_kernel(radius: int) -> np.ndarray:
     n = 2 * radius + 1
-    yy, xx = jnp.mgrid[:n, :n] - radius
-    k = (yy**2 + xx**2 <= radius**2).astype(jnp.float32)
-    return k / jnp.sum(k)
+    yy, xx = np.mgrid[:n, :n] - radius
+    k = (yy**2 + xx**2 <= radius**2).astype(np.float32)
+    return k / k.sum()
 
 
-def _gaussian_kernel(size: int, sigma: float) -> jnp.ndarray:
+def _gaussian_kernel(size: int, sigma: float) -> np.ndarray:
     r = size // 2
-    yy, xx = jnp.mgrid[:size, :size] - r
-    k = jnp.exp(-(yy**2 + xx**2) / (2.0 * sigma**2))
-    return k / jnp.sum(k)
+    yy, xx = np.mgrid[:size, :size] - r
+    k = np.exp(-(yy**2 + xx**2) / (2.0 * sigma**2)).astype(np.float32)
+    return k / k.sum()
 
 
 # --------------------------------------------------------- geometric sampling
 
 
 def _reflect101(x: jax.Array, n: int) -> jax.Array:
-    """OpenCV BORDER_REFLECT_101 index folding."""
     period = 2 * (n - 1) if n > 1 else 1
     x = jnp.abs(x) % period
     return jnp.where(x >= n, period - x, x)
 
 
-def _bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
-    """Sample HWC image at float coords (out_h, out_w) with reflect101 border."""
-    h, w = img.shape[:2]
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    wy = (ys - y0)[..., None]
-    wx = (xs - x0)[..., None]
+def _bilinear_warp(x: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Sample NHWC batch at float coords (H, W) SHARED across the batch,
+    reflect101 border.  The shared-index gather is the TPU-friendly form."""
+    h, w = x.shape[1:3]
+    y0f = jnp.floor(ys)
+    x0f = jnp.floor(xs)
+    wy = (ys - y0f)[None, :, :, None]
+    wx = (xs - x0f)[None, :, :, None]
 
     def at(yi, xi):
         yi = _reflect101(yi.astype(jnp.int32), h)
         xi = _reflect101(xi.astype(jnp.int32), w)
-        return img[yi, xi]
+        return x[:, yi, xi]
 
-    top = at(y0, x0) * (1 - wx) + at(y0, x0 + 1) * wx
-    bot = at(y0 + 1, x0) * (1 - wx) + at(y0 + 1, x0 + 1) * wx
+    top = at(y0f, x0f) * (1 - wx) + at(y0f, x0f + 1) * wx
+    bot = at(y0f + 1, x0f) * (1 - wx) + at(y0f + 1, x0f + 1) * wx
     return top * (1 - wy) + bot * wy
 
 
-def _rotate_joint(img, mask, degrees):
-    h, w = img.shape[:2]
+def _rotate_coords(h: int, w: int, degrees: jax.Array):
     theta = jnp.deg2rad(degrees)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     yy, xx = jnp.mgrid[:h, :w]
     yc, xc = yy - cy, xx - cx
     cos, sin = jnp.cos(theta), jnp.sin(theta)
-    src_y = cos * yc - sin * xc + cy
-    src_x = sin * yc + cos * xc + cx
-    return (
-        _bilinear_sample(img, src_y, src_x),
-        _bilinear_sample(mask, src_y, src_x),
-    )
+    return cos * yc - sin * xc + cy, sin * yc + cos * xc + cx
 
 
-def _crop_resize_joint(img, mask, top, left, ch, cw):
-    """Resample a (top, left, ch, cw) crop back to full size (joint)."""
-    h, w = img.shape[:2]
+def _crop_coords(h: int, w: int, top, left, ch, cw):
     oy = jnp.arange(h, dtype=jnp.float32)
     ox = jnp.arange(w, dtype=jnp.float32)
     src_y = top + (oy + 0.5) * ch / h - 0.5
     src_x = left + (ox + 0.5) * cw / w - 0.5
-    ys = jnp.broadcast_to(src_y[:, None], (h, w))
-    xs = jnp.broadcast_to(src_x[None, :], (h, w))
-    return _bilinear_sample(img, ys, xs), _bilinear_sample(mask, ys, xs)
+    return (
+        jnp.broadcast_to(src_y[:, None], (h, w)),
+        jnp.broadcast_to(src_x[None, :], (h, w)),
+    )
 
 
 # ------------------------------------------------------------ color utilities
 
 
-def _rgb_to_hsv(img):
-    return jax.vmap(jax.vmap(_px_rgb2hsv))(img)
-
-
-def _px_rgb2hsv(px):
-    r, g, b = px[0], px[1], px[2]
-    mx = jnp.maximum(jnp.maximum(r, g), b)
-    mn = jnp.minimum(jnp.minimum(r, g), b)
+def _rgb_to_hsv(img: jax.Array) -> jax.Array:
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    mx = jnp.max(img, axis=-1)
+    mn = jnp.min(img, axis=-1)
     d = mx - mn
     safe = jnp.where(d == 0, 1.0, d)
     h = jnp.where(
@@ -142,238 +146,272 @@ def _px_rgb2hsv(px):
     )
     h = jnp.where(d == 0, 0.0, h) / 6.0
     s = jnp.where(mx == 0, 0.0, d / jnp.where(mx == 0, 1.0, mx))
-    return jnp.stack([h, s, mx])
+    return jnp.stack([h, s, mx], axis=-1)
 
 
-def _hsv_to_rgb(img):
-    return jax.vmap(jax.vmap(_px_hsv2rgb))(img)
-
-
-def _px_hsv2rgb(px):
-    h, s, v = px[0] * 6.0, px[1], px[2]
+def _hsv_to_rgb(hsv: jax.Array) -> jax.Array:
+    h, s, v = hsv[..., 0] * 6.0, hsv[..., 1], hsv[..., 2]
     i = jnp.floor(h)
     f = h - i
     p = v * (1 - s)
     q = v * (1 - s * f)
     t = v * (1 - s * (1 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
-    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
-    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
-    return jnp.stack([r, g, b])
+    conds = [i == k for k in range(6)]
+    r = jnp.select(conds, [v, q, p, p, t, v])
+    g = jnp.select(conds, [t, v, v, q, p, p])
+    b = jnp.select(conds, [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
 
 
-_LUMA = jnp.array([0.299, 0.587, 0.114])
+def _luma(img: jax.Array) -> jax.Array:
+    return jnp.einsum("nhwc,c->nhw", img, jnp.asarray(_LUMA))
 
 
 # ------------------------------------------------------------- the transforms
+# All take (key, batch NHWC) and return the transformed batch; per-sample
+# randomness is (B,1,1,1)-shaped.
 
 
-def _defocus(key, img):
-    return _depthwise_conv(img, _disk_kernel(3))
+def _u(key, b, lo, hi):
+    return jax.random.uniform(key, (b, 1, 1, 1), minval=lo, maxval=hi)
 
 
-def _gauss_blur(key, img):
-    return _depthwise_conv(img, _gaussian_kernel(3, 0.2 + 1e-3))
+def _defocus(key, x):
+    del key
+    return _depthwise_conv(x, _disk_kernel(3))
 
 
-def _zoom_blur(key, img):
-    h, w = img.shape[:2]
-    acc = img
+def _gauss_blur(key, x):
+    del key
+    return _depthwise_conv(x, _gaussian_kernel(3, 0.2 + 1e-3))
+
+
+def _zoom_blur(key, x):
+    del key
+    h, w = x.shape[1:3]
+    acc = x
     for factor in (1.03, 1.06, 1.09, 1.11):
-        ch, cw = h / factor, w / factor
-        top, left = (h - ch) / 2.0, (w - cw) / 2.0
-        zoomed, _ = _crop_resize_joint(img, img, top, left, ch, cw)
-        acc = acc + zoomed
+        ch, cw = int(round(h / factor)), int(round(w / factor))
+        top, left = (h - ch) // 2, (w - cw) // 2
+        crop = x[:, top : top + ch, left : left + cw]
+        acc = acc + resize_bilinear(crop, (h, w))
     return acc / 5.0
 
 
-def _fog(key, img):
-    h, w = img.shape[:2]
+def _fog(key, x):
+    b, h, w, _ = x.shape
     k1, k2 = jax.random.split(key)
-    coef = jax.random.uniform(k1, (), minval=0.3, maxval=1.0)
-    field = jax.random.uniform(k2, (1, h // 16 or 1, w // 16 or 1, 1))
-    field = resize_bilinear(field, (h, w))[0]
+    coef = _u(k1, b, 0.3, 1.0)
+    field = jax.random.uniform(k2, (b, max(h // 16, 1), max(w // 16, 1), 1))
+    field = resize_bilinear(field, (h, w))
     alpha = coef * 0.6 * field
-    return img * (1 - alpha) + alpha
+    return x * (1 - alpha) + alpha
 
 
-def _color_jitter(key, img):
+def _color_jitter(key, x):
+    b = x.shape[0]
     kb, kc, ks, kh = jax.random.split(key, 4)
-    b = jax.random.uniform(kb, (), minval=0.6, maxval=1.4)
-    c = jax.random.uniform(kc, (), minval=0.6, maxval=1.4)
-    s = jax.random.uniform(ks, (), minval=0.6, maxval=1.4)
-    hshift = jax.random.uniform(kh, (), minval=-0.4, maxval=0.4)
-    img = img * b
-    mean = jnp.mean(img)
-    img = (img - mean) * c + mean
-    luma = jnp.sum(img * _LUMA, axis=-1, keepdims=True)
-    img = (img - luma) * s + luma
-    hsv = _rgb_to_hsv(jnp.clip(img, 0, 1))
+    bright = _u(kb, b, 0.6, 1.4)
+    contr = _u(kc, b, 0.6, 1.4)
+    sat = _u(ks, b, 0.6, 1.4)
+    hshift = jax.random.uniform(kh, (b, 1, 1), minval=-0.4, maxval=0.4)
+    x = x * bright
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    x = (x - mean) * contr + mean
+    luma = _luma(x)[..., None]
+    x = (x - luma) * sat + luma
+    hsv = _rgb_to_hsv(jnp.clip(x, 0, 1))
     hsv = hsv.at[..., 0].set((hsv[..., 0] + hshift) % 1.0)
     return _hsv_to_rgb(hsv)
 
 
-def _brightness_contrast(key, img):
+def _brightness_contrast(key, x):
+    b = x.shape[0]
     kb, kc = jax.random.split(key)
-    alpha = 1.0 + jax.random.uniform(kc, (), minval=-0.2, maxval=0.2)
-    beta = jax.random.uniform(kb, (), minval=-0.2, maxval=0.2)
-    return img * alpha + beta
+    return x * (1.0 + _u(kc, b, -0.2, 0.2)) + _u(kb, b, -0.2, 0.2)
 
 
-def _gamma(key, img):
-    g = jax.random.uniform(key, (), minval=0.8, maxval=1.2)
-    return jnp.power(jnp.clip(img, 1e-6, 1.0), g)
+def _gamma(key, x):
+    g = _u(key, x.shape[0], 0.8, 1.2)
+    return jnp.power(jnp.clip(x, 1e-6, 1.0), g)
 
 
-_EMBOSS_K = jnp.array([[-1.0, -1.0, 0.0], [-1.0, 1.0, 1.0], [0.0, 1.0, 1.0]])
+_EMBOSS_K = np.array([[-1.0, -1.0, 0.0], [-1.0, 1.0, 1.0], [0.0, 1.0, 1.0]], np.float32)
 
 
-def _emboss(key, img):
+def _emboss(key, x):
+    b = x.shape[0]
     ka, ks = jax.random.split(key)
-    alpha = jax.random.uniform(ka, (), minval=0.3, maxval=0.6)
-    strength = jax.random.uniform(ks, (), minval=0.3, maxval=0.7)
-    embossed = _depthwise_conv(img, _EMBOSS_K * strength) + 0.5
-    return img * (1 - alpha) + embossed * alpha
+    alpha = _u(ka, b, 0.3, 0.6)
+    strength = _u(ks, b, 0.3, 0.7)
+    embossed = _depthwise_conv(x, _EMBOSS_K) * strength + 0.5
+    return x * (1 - alpha) + embossed * alpha
 
 
-def _fancy_pca(key, img, alpha_std=0.35):
-    flat = img.reshape(-1, 3)
-    mean = flat.mean(axis=0)
-    cov = jnp.cov((flat - mean).T) + 1e-6 * jnp.eye(3)
-    eigval, eigvec = jnp.linalg.eigh(cov)
-    alphas = jax.random.normal(key, (3,)) * alpha_std
-    delta = eigvec @ (alphas * eigval)
-    return img + delta
+def _fancy_pca(key, x, alpha_std=0.35):
+    b = x.shape[0]
+    flat = x.reshape(b, -1, 3)
+    mean = flat.mean(axis=1, keepdims=True)
+    centered = flat - mean
+    cov = jnp.einsum("npc,npd->ncd", centered, centered) / flat.shape[1]
+    cov = cov + 1e-6 * jnp.eye(3)
+    eigval, eigvec = jnp.linalg.eigh(cov)  # (B,3), (B,3,3)
+    alphas = jax.random.normal(key, (b, 3)) * alpha_std
+    delta = jnp.einsum("ncd,nd->nc", eigvec, alphas * eigval)
+    return x + delta[:, None, None, :]
 
 
-def _channel_shuffle(key, img):
-    perm = jax.random.permutation(key, 3)
-    return img[..., perm]
+_PERMS3 = np.array(
+    [[0, 1, 2], [0, 2, 1], [1, 0, 2], [1, 2, 0], [2, 0, 1], [2, 1, 0]], np.int32
+)
+_PERM_MATS = np.stack([np.eye(3, dtype=np.float32)[p] for p in _PERMS3])  # (6,3,3)
 
 
-def _to_gray(key, img):
-    luma = jnp.sum(img * _LUMA, axis=-1, keepdims=True)
-    return jnp.broadcast_to(luma, img.shape)
+def _channel_shuffle(key, x):
+    b = x.shape[0]
+    idx = jax.random.randint(key, (b,), 0, 6)
+    pmats = jnp.asarray(_PERM_MATS)[idx]  # (B,3,3)
+    return jnp.einsum("nhwc,ncd->nhwd", x, pmats)
 
 
-def _hsv_shift(key, img):
+def _to_gray(key, x):
+    del key
+    return jnp.broadcast_to(_luma(x)[..., None], x.shape)
+
+
+def _hsv_shift(key, x):
+    b = x.shape[0]
     kh, ks, kv = jax.random.split(key, 3)
-    # albumentations units: hue ±60 (cv2 0-180 scale), sat ±60/255, val ±30/255.
-    dh = jax.random.uniform(kh, (), minval=-60, maxval=60) / 180.0
-    ds = jax.random.uniform(ks, (), minval=-60, maxval=60) / 255.0
-    dv = jax.random.uniform(kv, (), minval=-30, maxval=30) / 255.0
-    hsv = _rgb_to_hsv(jnp.clip(img, 0, 1))
-    hsv = hsv.at[..., 0].set((hsv[..., 0] + dh) % 1.0)
-    hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] + ds, 0, 1))
-    hsv = hsv.at[..., 2].set(jnp.clip(hsv[..., 2] + dv, 0, 1))
+    dh = jax.random.uniform(kh, (b, 1, 1), minval=-60, maxval=60) / 180.0
+    ds = jax.random.uniform(ks, (b, 1, 1), minval=-60, maxval=60) / 255.0
+    dv = jax.random.uniform(kv, (b, 1, 1), minval=-30, maxval=30) / 255.0
+    hsv = _rgb_to_hsv(jnp.clip(x, 0, 1))
+    hsv = jnp.stack(
+        [
+            (hsv[..., 0] + dh) % 1.0,
+            jnp.clip(hsv[..., 1] + ds, 0, 1),
+            jnp.clip(hsv[..., 2] + dv, 0, 1),
+        ],
+        axis=-1,
+    )
     return _hsv_to_rgb(hsv)
 
 
-def _clahe(key, img, clip_limit=3.0, bins=64):
-    """Clip-limited global histogram equalization on luminance."""
-    luma = jnp.sum(jnp.clip(img, 0, 1) * _LUMA, axis=-1)
-    idx = jnp.clip((luma * (bins - 1)).astype(jnp.int32), 0, bins - 1)
-    hist = jnp.zeros(bins).at[idx.ravel()].add(1.0)
-    n = luma.size
-    cap = clip_limit * n / bins
-    excess = jnp.sum(jnp.maximum(hist - cap, 0.0))
-    hist = jnp.minimum(hist, cap) + excess / bins
-    cdf = jnp.cumsum(hist) / n
-    new_luma = cdf[idx]
-    scale = new_luma / jnp.maximum(luma, 1e-6)
-    return img * scale[..., None]
+_CLAHE_BINS = 32
 
 
-def _tone_curve(key, img):
-    c = 0.5 + 0.25 * jax.random.normal(key, ())
-    c = jnp.clip(c, 0.0, 1.0)
-    t = jnp.clip(img, 0, 1)
-    return 2 * (1 - t) * t * c + t * t
-
-
-def _random_resized_crop(key, img, mask):
-    h, w = img.shape[:2]
-    ks, kr, ky, kx = jax.random.split(key, 4)
-    scale = jax.random.uniform(ks, (), minval=0.08, maxval=1.0)
-    log_ratio = jax.random.uniform(
-        kr, (), minval=jnp.log(3.0 / 4.0), maxval=jnp.log(4.0 / 3.0)
+def _clahe(key, x):
+    b, h, w, _ = x.shape
+    clip_limit = jax.random.uniform(key, (b, 1), minval=1.0, maxval=4.0)
+    luma = jnp.clip(_luma(jnp.clip(x, 0, 1)), 0.0, 1.0)
+    # histogram from 4x-subsampled luminance via one-hot reduction
+    ds = luma[:, ::4, ::4].reshape(b, -1)
+    n = ds.shape[1]
+    idx = jnp.clip((ds * (_CLAHE_BINS - 1)).astype(jnp.int32), 0, _CLAHE_BINS - 1)
+    one_hot = (idx[..., None] == jnp.arange(_CLAHE_BINS)).astype(jnp.float32)
+    hist = one_hot.sum(axis=1)  # (B, bins)
+    cap = clip_limit * n / _CLAHE_BINS
+    excess = jnp.sum(jnp.maximum(hist - cap, 0.0), axis=1, keepdims=True)
+    hist = jnp.minimum(hist, cap) + excess / _CLAHE_BINS
+    cdf = jnp.cumsum(hist, axis=1) / n  # (B, bins), monotone to ~1
+    # piecewise-constant LUT application via a batched small-table gather
+    full_idx = jnp.clip(
+        (luma.reshape(b, -1) * (_CLAHE_BINS - 1)).astype(jnp.int32), 0, _CLAHE_BINS - 1
     )
-    ratio = jnp.exp(log_ratio)
-    area = scale * h * w
-    cw = jnp.clip(jnp.sqrt(area * ratio), 8.0, w)
-    ch = jnp.clip(jnp.sqrt(area / ratio), 8.0, h)
-    top = jax.random.uniform(ky, (), minval=0.0, maxval=1.0) * (h - ch)
-    left = jax.random.uniform(kx, (), minval=0.0, maxval=1.0) * (w - cw)
-    return _crop_resize_joint(img, mask, top, left, ch, cw)
+    new_luma = jnp.take_along_axis(cdf, full_idx, axis=1).reshape(b, h, w)
+    scale = new_luma / jnp.maximum(luma, 1e-6)
+    return x * scale[..., None]
+
+
+def _tone_curve(key, x):
+    c = jnp.clip(0.5 + 0.25 * jax.random.normal(key, (x.shape[0], 1, 1, 1)), 0.0, 1.0)
+    t = jnp.clip(x, 0, 1)
+    return 2 * (1 - t) * t * c + t * t
 
 
 # ------------------------------------------------------------------- pipeline
 
 
-def _maybe(key, p, fn, img, *rest):
-    """Apply ``fn`` with probability ``p`` (select-based, vmap-safe)."""
-    kg, kf = jax.random.split(key)
-    gate = jax.random.bernoulli(kg, p)
-    out = fn(kf, img, *rest)
-    if rest:
-        return tuple(jnp.where(gate, o, i) for o, i in zip(out, (img, *rest)))
-    return jnp.where(gate, out, img)
+def _gate(key, p, b):
+    return jax.random.bernoulli(key, p, (b, 1, 1, 1))
 
 
-def _one_of(key, p, fns, img):
+def _one_of(key, p, fns, x):
+    b = x.shape[0]
     kg, kc, kf = jax.random.split(key, 3)
-    gate = jax.random.bernoulli(kg, p)
-    choice = jax.random.randint(kc, (), 0, len(fns))
-    outs = jnp.stack([fn(kf, img) for fn in fns])
-    out = outs[choice]
-    return jnp.where(gate, out, img)
-
-
-def augment_sample(key: jax.Array, img: jax.Array, mask: jax.Array):
-    """Augment one (HWC image in [0,1], HWC mask) pair. Pure / jittable."""
-    keys = jax.random.split(key, 12)
-    k_outer, k_blur, k_color, k_rrc, k_flip, k_pca, k_shuf, k_gray, k_hsv, k_clahe, k_rot, k_tone = keys
-
-    outer = jax.random.bernoulli(k_outer, 0.7)
-
-    def composed(img, mask):
-        img = _one_of(k_blur, 0.4, [_defocus, _gauss_blur, _zoom_blur, _fog], img)
-        img = _one_of(
-            k_color, 0.4, [_color_jitter, _brightness_contrast, _gamma, _emboss], img
-        )
-        img2, mask2 = _maybe(k_rrc, 0.3, _random_resized_crop, img, mask)
-        flip = jax.random.bernoulli(k_flip, 0.5)
-        img2 = jnp.where(flip, img2[:, ::-1], img2)
-        mask2 = jnp.where(flip, mask2[:, ::-1], mask2)
-        img2 = _maybe(k_pca, 0.3, _fancy_pca, img2)
-        img2 = _maybe(k_shuf, 0.5, _channel_shuffle, img2)
-        img2 = _maybe(k_gray, 0.3, _to_gray, img2)
-        return img2, mask2
-
-    aug_img, aug_mask = composed(img, mask)
-    img = jnp.where(outer, aug_img, img)
-    mask = jnp.where(outer, aug_mask, mask)
-
-    img = _maybe(k_hsv, 0.4, _hsv_shift, img)
-    img = _maybe(k_clahe, 0.7, _clahe, img)
-
-    # Arotate (reference augment.py:77-90): p=0.4 outer, degree U[0,90) with a
-    # 20% chance of 0.
-    kd1, kd2, kg = jax.random.split(k_rot, 3)
-    degree = jax.random.randint(kd1, (), 0, 90).astype(jnp.float32)
-    degree = jnp.where(jax.random.bernoulli(kd2, 0.2), 0.0, degree)
-    rot_img, rot_mask = _rotate_joint(img, mask, degree)
-    rot_gate = jax.random.bernoulli(kg, 0.4)
-    img = jnp.where(rot_gate, rot_img, img)
-    mask = jnp.where(rot_gate, rot_mask, mask)
-
-    img = _maybe(k_tone, 0.5, _tone_curve, img)
-    return jnp.clip(img, 0.0, 1.0), mask
+    gate = _gate(kg, p, b)
+    choice = jax.random.randint(kc, (b, 1, 1, 1), 0, len(fns))
+    keys = jax.random.split(kf, len(fns))
+    out = x
+    for k, (fk, fn) in enumerate(zip(keys, fns)):
+        out = jnp.where(choice == k, fn(fk, x), out)
+    return jnp.where(gate, out, x)
 
 
 @jax.jit
 def augment_batch(key: jax.Array, images: jax.Array, masks: jax.Array):
-    """Vectorized batched augmentation: NHWC images + masks, per-sample keys."""
-    keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(augment_sample)(keys, images, masks)
+    """Augment an NHWC batch (images in [0,1]) + masks jointly. Pure/jittable."""
+    b, h, w, _ = images.shape
+    keys = jax.random.split(key, 14)
+    (k_outer, k_blur, k_color, k_rrc_p, k_rrc, k_flip, k_pca, k_shuf, k_gray,
+     k_hsv, k_clahe, k_rot, k_tone, k_extra) = keys
+
+    img, mask = images.astype(jnp.float32), masks.astype(jnp.float32)
+    outer = _gate(k_outer, 0.7, b)
+
+    # --- composed block (albumentations Compose p=0.7)
+    x = _one_of(k_blur, 0.4, [_defocus, _gauss_blur, _zoom_blur, _fog], img)
+    x = _one_of(k_color, 0.4, [_color_jitter, _brightness_contrast, _gamma, _emboss], x)
+
+    # random-resized-crop: batch-uniform box, per-sample gate
+    ks1, ks2, ks3, ks4 = jax.random.split(k_rrc, 4)
+    scale = jax.random.uniform(ks1, (), minval=0.08, maxval=1.0)
+    log_ratio = jax.random.uniform(ks2, (), minval=np.log(0.75), maxval=np.log(4 / 3))
+    area = scale * h * w
+    cw = jnp.clip(jnp.sqrt(area * jnp.exp(log_ratio)), 8.0, w)
+    ch = jnp.clip(jnp.sqrt(area / jnp.exp(log_ratio)), 8.0, h)
+    top = jax.random.uniform(ks3, ()) * (h - ch)
+    left = jax.random.uniform(ks4, ()) * (w - cw)
+    cys, cxs = _crop_coords(h, w, top, left, ch, cw)
+    crop_gate = _gate(k_rrc_p, 0.3, b)
+    x = jnp.where(crop_gate, _bilinear_warp(x, cys, cxs), x)
+    m = jnp.where(crop_gate, _bilinear_warp(mask, cys, cxs), mask)
+
+    flip = _gate(k_flip, 0.5, b)
+    x = jnp.where(flip, x[:, :, ::-1], x)
+    m = jnp.where(flip, m[:, :, ::-1], m)
+
+    kp1, kp2 = jax.random.split(k_pca)
+    x = jnp.where(_gate(kp1, 0.3, b), _fancy_pca(kp2, x), x)
+    ksh1, ksh2 = jax.random.split(k_shuf)
+    x = jnp.where(_gate(ksh1, 0.5, b), _channel_shuffle(ksh2, x), x)
+    x = jnp.where(_gate(k_gray, 0.3, b), _to_gray(None, x), x)
+
+    img = jnp.where(outer, x, img)
+    mask = jnp.where(outer, m, mask)
+
+    # --- independent tail
+    kh1, kh2 = jax.random.split(k_hsv)
+    img = jnp.where(_gate(kh1, 0.4, b), _hsv_shift(kh2, img), img)
+    kc1, kc2 = jax.random.split(k_clahe)
+    img = jnp.where(_gate(kc1, 0.7, b), _clahe(kc2, img), img)
+
+    # Arotate: degree U[0,90) with 20% chance of 0 (batch-uniform), p=0.4 gate
+    kd1, kd2, kg = jax.random.split(k_rot, 3)
+    degree = jax.random.randint(kd1, (), 0, 90).astype(jnp.float32)
+    degree = jnp.where(jax.random.bernoulli(kd2, 0.2), 0.0, degree)
+    rys, rxs = _rotate_coords(h, w, degree)
+    rot_gate = _gate(kg, 0.4, b)
+    img = jnp.where(rot_gate, _bilinear_warp(img, rys, rxs), img)
+    mask = jnp.where(rot_gate, _bilinear_warp(mask, rys, rxs), mask)
+
+    kt1, kt2 = jax.random.split(k_tone)
+    img = jnp.where(_gate(kt1, 0.5, b), _tone_curve(kt2, img), img)
+    return jnp.clip(img, 0.0, 1.0), mask
+
+
+def augment_sample(key: jax.Array, img: jax.Array, mask: jax.Array):
+    """Single-sample convenience wrapper (HWC in, HWC out)."""
+    imgs, masks = augment_batch(key, img[None], mask[None])
+    return imgs[0], masks[0]

@@ -44,6 +44,7 @@ class Batcher:
         drop_last_if_single: bool = True,
         num_threads: int = 4,
         prefetch: int = 2,
+        pad_final: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -53,11 +54,17 @@ class Batcher:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.epoch = 0
+        # pad_final: wrap-around-pad the last batch to the full batch size so
+        # every batch has a static, data-axis-divisible shape (required when
+        # sharding the batch over a mesh; also avoids a recompile for the
+        # ragged tail).  Train loaders enable this; eval loaders keep exact
+        # sample counts.
+        self.pad_final = pad_final
 
     def __len__(self) -> int:
         n = len(self.dataset)
         nb, rem = divmod(n, self.batch_size)
-        if rem == 1 and self.drop_last_if_single:
+        if rem == 1 and self.drop_last_if_single and self.batch_size > 1 and not self.pad_final:
             return nb
         return nb + (1 if rem else 0)
 
@@ -72,7 +79,20 @@ class Batcher:
         batches = [
             order[i : i + self.batch_size] for i in range(0, n, self.batch_size)
         ]
-        if batches and len(batches[-1]) == 1 and self.drop_last_if_single:
+        if self.pad_final and batches and len(batches[-1]) < self.batch_size:
+            short = batches[-1]
+            fill = order[: self.batch_size - len(short)]
+            if len(short) + len(fill) == self.batch_size:
+                batches[-1] = np.concatenate([short, fill])
+            else:  # dataset smaller than one batch: tile
+                reps = int(np.ceil(self.batch_size / n))
+                batches[-1] = np.tile(order, reps)[: self.batch_size]
+        if (
+            batches
+            and len(batches[-1]) == 1
+            and self.drop_last_if_single
+            and self.batch_size > 1
+        ):
             batches.pop()
         return batches
 

@@ -57,12 +57,6 @@ def binary_cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
     return jnp.mean(jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x))))
 
 
-def _bce_per_channel(x: jax.Array, y: jax.Array) -> jax.Array:
-    """Per-channel BCE-with-logits over NHWC; returns shape (C,)."""
-    v = jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x)))
-    return jnp.mean(v, axis=(0, 1, 2))
-
-
 def prob_cross_entropy(pred: jax.Array, target_probs: jax.Array, axis: int = -1) -> jax.Array:
     """Probability-target cross entropy: ``mean(-sum(p * log_softmax(x), axis))``.
 
@@ -74,79 +68,75 @@ def prob_cross_entropy(pred: jax.Array, target_probs: jax.Array, axis: int = -1)
     return jnp.mean(-jnp.sum(target_probs * logp, axis=axis))
 
 
-def _seven_per_channel(
-    gt: jax.Array, pred: jax.Array, background_weight: jax.Array | float = 0.0
+def seven_from_sums(
+    sums: jax.Array, background_weight: jax.Array | float = 0.0
 ) -> jax.Array:
-    """Compute the 7-loss tuple independently per channel.
+    """The 7-loss tuple from the fused per-channel reductions.
 
-    ``gt``/``pred`` are NHWC.  Every reduction the reference performs over a
-    ``(B, 1, H, W)`` slice becomes a per-channel reduction over ``(B, H, W)``
-    here, so this is the vectorized equivalent of the reference's Python
-    recursion over organs (``train_multiclass.py:260-262``) — one fused XLA
-    reduction per quantity instead of dozens of small kernels.
-
-    Returns an array of shape ``(7, C)``.
+    ``sums`` is the (8, C) array of :mod:`.ops.pallas.loss_sums` —
+    [Σg, Σp, Σp², Σgp, focal-fg, focal-bg, bce-p-part, N].  All reference
+    formulas (``loss_functions.py:26-117``) are algebraic in these sums:
+    Σ(1−g)(1−p) = N − Σg − Σp + Σgp, Σ(1−g)+Σ(1−p)² = 2N − Σg − 2Σp + Σp²,
+    etc.  Quirks kept: the extra ×2 on the standard-dice background
+    denominator (``:58``) but NOT on focal-dice's (``:103``); negative dice;
+    ``p·p`` denominators; the ×3.3 classification_dice multiplier.
     """
     bg = background_weight
-    red = (0, 1, 2)  # reduce over batch + spatial, keep channels
+    s_g, s_p, s_pp, s_gp, s_flfg, s_flbg, s_bce, n = (sums[i] for i in range(8))
 
-    gt = gt.astype(jnp.float32)
-    pred = pred.astype(jnp.float32)
+    ce = jnp.zeros_like(s_g)
+    bce = (s_bce - s_gp) / n
+    focal = (-s_flfg - bg * s_flbg) / n
 
-    # --- ce: probability-target CE over a 1-channel axis == 0 identically.
-    ce = jnp.zeros(gt.shape[-1], jnp.float32)
+    s_g0p0 = n - s_g - s_p + s_gp
+    s_g1_p1sq = s_g + s_pp
+    s_g0_p0sq = 2.0 * n - s_g - 2.0 * s_p + s_pp
 
-    # --- bce: BCEWithLogits applied to (already-sigmoided) predictions
-    # (reference loss_functions.py:26-44, bce=True path).
-    bce = _bce_per_channel(pred, gt)
-
-    # --- focal (loss_functions.py:46-50), factor=1 at the losses_fn call site.
-    fl = -jnp.power(1.0 - pred, 1.5) * jnp.log(pred + EPS)
-    fl = fl - bg * jnp.power(pred, 1.5) * jnp.log(1.0 - pred + EPS)
-    focal = jnp.mean(fl, axis=red)
-
-    g1, p1 = gt, pred
-    g0, p0 = 1.0 - gt, 1.0 - pred
-
-    s_g1p1 = jnp.sum(g1 * p1, axis=red)
-    s_g0p0 = jnp.sum(g0 * p0, axis=red)
-    s_g1_p1sq = jnp.sum(g1 + p1 * p1, axis=red)
-    s_g0_p0sq = jnp.sum(g0 + p0 * p0, axis=red)
-
-    # --- dice (standard form, loss_functions.py:52-66): note the extra factor
-    # of 2 on the *background denominator* — a reference quirk we keep.
-    dice_fg = (2.0 * s_g1p1 + EPS) / (s_g1_p1sq + EPS)
+    dice_fg = (2.0 * s_gp + EPS) / (s_g1_p1sq + EPS)
     dice_bg = (2.0 * s_g0p0 + EPS) / (2.0 * s_g0_p0sq + EPS)
     dice = -dice_fg - bg * dice_bg
 
-    # --- generalized dice (loss_functions.py:67-80): no 2x numerator.
-    gd_fg = (s_g1p1 + EPS) / (s_g1_p1sq + EPS)
+    gd_fg = (s_gp + EPS) / (s_g1_p1sq + EPS)
     gd_bg = (s_g0p0 + EPS) / (s_g0_p0sq + EPS)
     generalized_dice = -(gd_fg + bg * gd_bg)
 
-    # --- twersky (loss_functions.py:82-94), alpha=0.5 beta=0.3.
     alpha, beta = 0.5, 0.3
-    tw_fg_d = s_g1p1 + alpha * jnp.sum(p0 * g1, axis=red) + beta * jnp.sum(p1 * g0, axis=red)
-    tw_fg = -(s_g1p1 + EPS) / (tw_fg_d + EPS)
-    tw_bg_d = s_g0p0 + alpha * jnp.sum(p1 * g0, axis=red) + beta * jnp.sum(p0 * g1, axis=red)
+    tw_fg_d = s_gp + alpha * (s_g - s_gp) + beta * (s_p - s_gp)
+    tw_fg = -(s_gp + EPS) / (tw_fg_d + EPS)
+    tw_bg_d = s_g0p0 + alpha * (s_p - s_gp) + beta * (s_g - s_gp)
     tw_bg = -(s_g0p0 + EPS) / (tw_bg_d + EPS)
     twersky = tw_fg + bg * tw_bg
 
-    # --- focal dice (loss_functions.py:96-108), gamma=1.8; here the bg
-    # denominator has NO factor 2 (unlike `dice` above) — another kept quirk.
     gamma = 1.8
-    fdc_fg = (2.0 * s_g1p1 + EPS) / (s_g1_p1sq + EPS)
+    fdc_fg = (2.0 * s_gp + EPS) / (s_g1_p1sq + EPS)
     fdc_bg = (2.0 * s_g0p0 + EPS) / (s_g0_p0sq + EPS)
     fd_fg = -jnp.power(1.0 - fdc_fg, gamma) * jnp.log(fdc_fg + EPS)
     fd_bg = -jnp.power(1.0 - fdc_bg, gamma) * jnp.log(fdc_bg + EPS)
     focal_dice = fd_fg + bg * fd_bg
 
-    # classification_dice_loss multiplier: factor(=10) * 0.33
-    # (loss_functions.py:110-117 with train_multiclass.py:272's factor=10).
     m = 10.0 * 0.33
     return jnp.stack(
         [ce, bce, focal, dice * m, generalized_dice * m, twersky * m, focal_dice * m]
     )
+
+
+def _seven_per_channel(
+    gt: jax.Array, pred: jax.Array, background_weight: jax.Array | float = 0.0
+) -> jax.Array:
+    """Compute the 7-loss tuple independently per channel; returns (7, C).
+
+    ``gt``/``pred`` are NHWC.  Every reduction the reference performs over a
+    ``(B, 1, H, W)`` slice becomes a per-channel reduction over ``(B, H, W)``
+    here — the vectorized equivalent of the reference's Python recursion over
+    organs (``train_multiclass.py:260-262``).  The reductions run in ONE pass
+    over the activations via the fused Pallas kernel on TPU (jnp fallback
+    elsewhere), and the tuple is reconstructed algebraically by
+    :func:`seven_from_sums`.
+    """
+    from .ops.pallas.loss_sums import loss_sums_nhwc
+
+    sums = loss_sums_nhwc(pred.astype(jnp.float32), gt.astype(jnp.float32))
+    return seven_from_sums(sums, background_weight)
 
 
 def seven_losses(

@@ -1,0 +1,204 @@
+"""Fused single-pass loss reductions (Pallas TPU kernel, custom VJP).
+
+The 7-loss tuple (:mod:`...losses`) needs ~10 different reductions over the
+same (B, H, W, C) probability/label tensors; left to XLA these become several
+HBM passes over ~50 MB of activations per step.  Everything the tuple needs
+derives from seven per-channel sums computed in ONE pass:
+
+  s0 = Σ g                (label mass)
+  s1 = Σ p                (prediction mass)
+  s2 = Σ p²               (the reference's ``p*p`` dice denominators)
+  s3 = Σ g·p              (intersection)
+  s4 = Σ (1−p)^1.5 · log(p + ε)      (focal fg integrand)
+  s5 = Σ p^1.5 · log(1−p + ε)        (focal bg integrand)
+  s6 = Σ max(p,0) + log1p(e^(−|p|))  (the p-only part of BCE-with-logits)
+
+e.g. Σ(1−g)(1−p) = N − s0 − s1 + s3, Tversky's Σp·(1−g) = s1 − s3, and
+BCE-with-logits(input=p, target=g) = (s6 − s3)/N.
+
+Layout: the caller passes (C, N) transposed views (channel-major) so the big
+reduction axis sits on lanes; the grid walks N in tiles and accumulates into
+a (8, C) VMEM output (row 7 holds the element count).  The backward pass is a
+second elementwise kernel: dp = Σ_k w_k · ∂s_k/∂p with the seven cotangent
+weights broadcast from SMEM-sized inputs.
+
+Falls back to pure jnp off-TPU (same math, used by CPU tests via
+``interpret=True`` or the ``_sums_reference`` path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS = 1e-7
+GAMMA = 1.5
+NUM_SUMS = 8  # 7 sums + element count
+LANE_TILE = 2048
+
+
+def _sums_reference(p: jax.Array, g: jax.Array) -> jax.Array:
+    """Pure-jnp reference: p, g are (C, N); returns (8, C) f32."""
+    p = p.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    n = jnp.full((p.shape[0],), p.shape[1], jnp.float32)
+    return jnp.stack([
+        jnp.sum(g, axis=1),
+        jnp.sum(p, axis=1),
+        jnp.sum(p * p, axis=1),
+        jnp.sum(g * p, axis=1),
+        jnp.sum(jnp.power(1.0 - p, GAMMA) * jnp.log(p + EPS), axis=1),
+        jnp.sum(jnp.power(p, GAMMA) * jnp.log(1.0 - p + EPS), axis=1),
+        jnp.sum(jnp.maximum(p, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(p))), axis=1),
+        n,
+    ])
+
+
+def _fwd_kernel(p_ref, g_ref, out_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    p = p_ref[:, :].astype(jnp.float32)
+    g = g_ref[:, :].astype(jnp.float32)
+    one_m_p = 1.0 - p
+    s0 = jnp.sum(g, axis=1)
+    s1 = jnp.sum(p, axis=1)
+    s2 = jnp.sum(p * p, axis=1)
+    s3 = jnp.sum(g * p, axis=1)
+    s4 = jnp.sum(jnp.power(one_m_p, GAMMA) * jnp.log(p + EPS), axis=1)
+    s5 = jnp.sum(jnp.power(p, GAMMA) * jnp.log(one_m_p + EPS), axis=1)
+    s6 = jnp.sum(jnp.maximum(p, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(p))), axis=1)
+    n = jnp.full_like(s0, p.shape[1])
+    out_ref[:, :] += jnp.stack([s0, s1, s2, s3, s4, s5, s6, n])
+
+
+def _bwd_kernel(p_ref, g_ref, w_ref, dp_ref, dg_ref):
+    p = p_ref[:, :].astype(jnp.float32)
+    g = g_ref[:, :].astype(jnp.float32)
+    w = w_ref[:, :]  # (8, C)
+
+    def wc(k):  # cotangent weight for sum k, shaped (C, 1) for broadcast
+        return w[k][:, None]
+
+    one_m_p = 1.0 - p
+    dp = (
+        wc(1)
+        + wc(2) * 2.0 * p
+        + wc(3) * g
+        + wc(4) * (jnp.power(one_m_p, GAMMA) / (p + EPS)
+                   - GAMMA * jnp.power(one_m_p, GAMMA - 1.0) * jnp.log(p + EPS))
+        + wc(5) * (GAMMA * jnp.power(p, GAMMA - 1.0) * jnp.log(one_m_p + EPS)
+                   - jnp.power(p, GAMMA) / (one_m_p + EPS))
+        # d/dp [max(p,0) + log1p(e^-|p|)] = 1{p>0} - sign(p)/(1 + e^|p|)
+        + wc(6) * ((p > 0).astype(jnp.float32)
+                   - jnp.sign(p) / (1.0 + jnp.exp(jnp.abs(p))))
+    )
+    dg = wc(0) + wc(3) * p
+    dp_ref[:, :] = dp
+    dg_ref[:, :] = dg * jnp.ones_like(p)
+
+
+def _pad_to_tile(x: jax.Array) -> jax.Array:
+    c, n = x.shape
+    pad = (-n) % LANE_TILE
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    return x
+
+
+@functools.lru_cache(maxsize=4)
+def _make_fused(interpret: bool):
+    @jax.custom_vjp
+    def fused(p, g):
+        return _fwd(p, g, interpret)
+
+    fused.defvjp(
+        lambda p, g: _fwd_vjp(interpret, p, g),
+        lambda res, cot: _bwd_vjp(interpret, res, cot),
+    )
+    return fused
+
+
+def fused_loss_sums(p: jax.Array, g: jax.Array, interpret: bool = False) -> jax.Array:
+    """(C, N) probs/labels -> (8, C) sums (differentiable, custom VJP).
+    Padding contributes p=g=0 elements whose analytic effect on rows 4/6/7 is
+    subtracted after the kernel."""
+    return _make_fused(bool(interpret))(p, g)
+
+
+def _fwd(p, g, interpret):
+    c, n = p.shape
+    pp, gp = _pad_to_tile(p), _pad_to_tile(g)
+    n_pad = pp.shape[1]
+    grid = n_pad // LANE_TILE
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((c, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NUM_SUMS, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NUM_SUMS, c), jnp.float32),
+        interpret=interpret,
+    )(pp, gp)
+    # Remove padding contributions: zeros add log(eps) to s4 and log1p(1) to
+    # s6; subtract the analytic zero-element contribution per padded lane.
+    pad = n_pad - n
+    if pad:
+        zero_contrib = jnp.zeros((NUM_SUMS, c), jnp.float32)
+        zero_contrib = zero_contrib.at[4].set(pad * float(np.log(EPS)))
+        zero_contrib = zero_contrib.at[6].set(pad * float(np.log(2.0)))
+        zero_contrib = zero_contrib.at[7].set(float(pad))
+        out = out - zero_contrib
+    return out
+
+
+def _fwd_vjp(interpret, p, g):
+    return _fwd(p, g, interpret), (p, g)
+
+
+def _bwd_vjp(interpret, res, cot):
+    p, g = res
+    c, n = p.shape
+    pp, gp = _pad_to_tile(p), _pad_to_tile(g)
+    dp, dg = pl.pallas_call(
+        _bwd_kernel,
+        grid=(pp.shape[1] // LANE_TILE,),
+        in_specs=[
+            pl.BlockSpec((c, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_SUMS, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((c, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(pp.shape, jnp.float32),
+            jax.ShapeDtypeStruct(pp.shape, jnp.float32),
+        ],
+        interpret=interpret,
+    )(pp, gp, cot.astype(jnp.float32))
+    return dp[:, :n].astype(p.dtype), dg[:, :n].astype(g.dtype)
+
+
+def loss_sums_nhwc(probs: jax.Array, labels: jax.Array, use_pallas: bool | None = None):
+    """NHWC -> (8, C) sums.  ``use_pallas=None`` auto-selects: the Pallas
+    kernel on TPU, the jnp reference elsewhere (identical math)."""
+    c = probs.shape[-1]
+    p = probs.reshape(-1, c).T
+    g = labels.reshape(-1, c).T
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if not use_pallas:
+        return _sums_reference(p, g)
+    return fused_loss_sums(p, g, False)

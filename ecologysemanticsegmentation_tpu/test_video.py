@@ -1,0 +1,103 @@
+"""Video inference CLI: ``python -m ecologysemanticsegmentation_tpu.test_video
+--model_path P --video_path V --result_dir R``.
+
+Full README pipeline (reference ``README.md:69-77`` + ``test_video.py``):
+
+1. parse video -> frames (``frames/frame_i.jpg``),
+2. *batched* jitted segmentation over frames (the reference runs batch-1
+   frame-at-a-time with no sigmoid/resize — latent bugs noted at
+   SURVEY.md §2.1; here frames are resized/normalized and sigmoided),
+3. mask overlay + ``output_frame_i.jpg`` writes,
+4. frames -> video reassembly (the reference's promised-but-unimplemented
+   step 3, completed via :func:`..data.video.reassemble_video`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model_path", required=True, help="checkpoint file to load")
+    ap.add_argument("--video_path", required=True)
+    ap.add_argument("--result_dir", required=True)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--model", default="deeplabv3plus")
+    ap.add_argument("--encoder", default="resnet34")
+    ap.add_argument("--depthwiseconv", action="store_true")
+    ap.add_argument("--overlay", action="store_true",
+                    help="Write mask-overlay frames instead of raw masks")
+    ap.add_argument("--reassemble", default=None,
+                    help="Output video path (e.g. out.mp4) for step 3")
+    ap.add_argument("--platform", default=None)
+    return ap
+
+
+def main(args=None):
+    args = args if args is not None else build_argparser().parse_args()
+    import cv2
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from .config import EnvConfig
+    from .data.video import VideoDataset, reassemble_video
+    from .models import build_model
+    from .train import create_train_state, load_checkpoint_file, make_forward, make_optimizer
+    from .utils import display_composite_annotations
+
+    assert os.path.exists(args.model_path), f"model not found: {args.model_path}"
+    os.makedirs(args.result_dir, exist_ok=True)
+
+    cfg = EnvConfig.from_env()
+    model = build_model(
+        args.model, num_classes=cfg.num_classes, encoder_name=args.encoder,
+        depthwise=args.depthwiseconv,
+    )
+    template = create_train_state(
+        model, jax.random.PRNGKey(0), (1, cfg.img_size, cfg.img_size, 3), make_optimizer()
+    )
+    state = load_checkpoint_file(args.model_path, template)
+    assert state is not None, f"failed to load checkpoint {args.model_path}"
+    forward = make_forward(model)
+
+    video = VideoDataset(args.video_path, img_shape=cfg.img_size)
+    n = len(video)
+    print(f"{n} frames @ {video.fps:.1f} fps")
+
+    # batched streaming inference with a fixed batch shape (pad the tail) so
+    # the jitted forward compiles once
+    bs = args.batch_size
+    for start in range(0, n, bs):
+        idxs = list(range(start, min(start + bs, n)))
+        frames = np.stack([video[i][0] for i in idxs])
+        pad = bs - len(idxs)
+        if pad:
+            frames = np.concatenate([frames, np.zeros((pad,) + frames.shape[1:], frames.dtype)])
+        probs = np.asarray(forward(state, frames))[: len(idxs)]
+        for k, i in enumerate(idxs):
+            if args.overlay:
+                img8 = (frames[k] * 255).astype(np.uint8)
+                mask8 = (probs[k] * 255).astype(np.uint8)
+                entries = display_composite_annotations(
+                    img8, mask8, list(cfg.organs), verbose=False
+                )
+                out = entries[-1][list(entries[-1].keys())[0]]
+                out = cv2.cvtColor(out, cv2.COLOR_RGB2BGR)
+            else:
+                out = (probs[k, ..., 0] * 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(args.result_dir, f"output_frame_{i}.jpg"), out)
+    print(f"wrote {n} output frames to {args.result_dir}")
+
+    if args.reassemble:
+        path = reassemble_video(args.result_dir, args.reassemble, fps=video.fps)
+        print(f"reassembled video: {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,9 @@ def make_train_step(
     where ``gates3 = [focal_dice_w, bce_l_w, generalized_dice_w]`` and
     ``jitters`` is the composite early-stop jitter array (pass ones when not
     early-stopped; ignored for composite_mode="none").
+
+    The input ``state`` is DONATED (its device buffers are reused for the
+    output state) — never reuse a state object after passing it to the step.
     """
     assert composite_mode in ("none", "general", "sequential")
 

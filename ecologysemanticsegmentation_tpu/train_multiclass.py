@@ -1,0 +1,217 @@
+"""Main trainer CLI: ``python -m ecologysemanticsegmentation_tpu.train_multiclass``.
+
+CLI/behavior parity with the reference's primary entry point
+(``ecology_semantic_segmentation/train_multiclass.py``):
+
+* flags ``--batch_size`` (default 7) ``--start_epoch`` ``--lr`` (3e-4);
+  env ``EXPTNAME``/``ORGANS``/``IMGSIZE``/``MAXCHANNELS``/``SAMPLE``,
+* DeepLabV3+ (resnet34) with ``classes=len(ORGANS)`` (reference ``:347-353``),
+* union-set label transform on targets (``:110``),
+* loss = ``focal_dice_w*fd + bce_w*bce + gdice_w*(gd+tw)`` with the epoch
+  curriculum gates (``:92-100,145``) and the randomized background-weight
+  schedule (``:50-72``),
+* CosineAnnealingWarmRestarts(T_0=100) stepped per epoch (``:81,241``),
+* checkpoint every 10 epochs to
+  ``models/<EXPT>/channels<MC>/img<SZ>/<EXPT>_epoch<N>.ckpt`` + glob/argmax
+  resume (``:163-165,305-335``),
+* per-epoch val loop with BCE val loss and 10 val-image PNG triplet dumps to
+  ``val_images/<epoch>/`` (``:174-239``).
+
+TPU-native differences: decode-only host pipeline + on-device augmentation;
+one jitted train step; data-parallel over all visible devices via a
+``(data, model)`` mesh (degrades to a single chip).  Extra flags
+(``--num_epochs``, ``--dataset synthetic``, ``--models_dir``) support
+smoke-runs without the external data directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch_size", default=7, type=int,
+                    help="Global batch size (reference default 7; README suggests 54)")
+    ap.add_argument("--start_epoch", default=0, type=int,
+                    help="Resume from a specific epoch (0 = latest checkpoint)")
+    ap.add_argument("--lr", default=0.0003, type=float, help="Adam learning rate")
+    ap.add_argument("--num_epochs", default=5000, type=int)
+    ap.add_argument("--early_stop_epoch", default=500, type=int)
+    ap.add_argument("--dataset", default="registry", choices=["registry", "synthetic"],
+                    help="'synthetic' = in-memory fixture dataset, no data dir needed")
+    ap.add_argument("--models_dir", default="models")
+    ap.add_argument("--model", default="deeplabv3plus")
+    ap.add_argument("--encoder", default="resnet34")
+    ap.add_argument("--platform", default=None,
+                    help="Force a JAX platform (e.g. cpu) — the env var is pinned in some containers")
+    ap.add_argument("--seed", default=0, type=int)
+    ap.add_argument("--log_every", default=None, type=int)
+    ap.add_argument("--no_augment", action="store_true")
+    return ap
+
+
+def save_val_triplets(out_dir: str, epoch: int, j: int, image, labels, probs, organs):
+    """Reference val-image dump: ``val_images/<epoch>/<j>_{img,gt_organN,pred_organN}.png``
+    (``train_multiclass.py:207-236``)."""
+    import cv2
+
+    d = os.path.join(out_dir, str(epoch))
+    os.makedirs(d, exist_ok=True)
+    base = os.path.join(d, str(j))
+    cv2.imwrite(base + "_img.png",
+                cv2.cvtColor((np.asarray(image) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+    for idx in range(len(organs)):
+        cv2.imwrite(base + f"_gt_organ{idx}.png",
+                    (np.clip(np.asarray(labels[..., idx]), 0, 1) * 255).astype(np.uint8))
+        cv2.imwrite(base + f"_pred_organ{idx}.png",
+                    (np.asarray(probs[..., idx]) * 255).astype(np.uint8))
+
+
+def train(args=None):
+    args = args if args is not None else build_argparser().parse_args()
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from .config import EnvConfig
+    from .data import Batcher, device_prefetch, get_split_datasets
+    from .losses import LOSS_NAMES
+    from .models import build_model
+    from .parallel import batch_sharding, create_mesh, local_batch_to_global, replicated_sharding
+    from .train import (
+        BackgroundWeightSchedule,
+        cosine_annealing_warm_restarts,
+        create_train_state,
+        curriculum_gates,
+        load_recent_model,
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+        save_checkpoint,
+    )
+
+    cfg = EnvConfig.from_env()
+    print(f"Organs: {list(cfg.organs)}")
+
+    mesh = create_mesh()
+    batch_size = local_batch_to_global(args.batch_size, mesh)
+    if batch_size != args.batch_size:
+        print(f"batch_size {args.batch_size} -> {batch_size} (multiple of data axis)")
+
+    train_ds, val_ds, _ = get_split_datasets(cfg, synthetic=args.dataset == "synthetic")
+    assert len(train_ds) > 0, "empty training dataset — check data dir or use --dataset synthetic"
+
+    model = build_model(
+        args.model, num_classes=cfg.num_classes, encoder_name=args.encoder,
+        max_channels=cfg.max_channels,
+    )
+    tx = make_optimizer(args.lr)
+    rng = jax.random.PRNGKey(args.seed)
+    state = create_train_state(model, rng, (1, cfg.img_size, cfg.img_size, 3), tx)
+
+    save_dir = cfg.checkpoint_dir(args.models_dir)
+    start_epoch, state = load_recent_model(
+        save_dir, state, cfg.expt_name, epoch=None if args.start_epoch == 0 else args.start_epoch
+    )
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    train_step = make_train_step(model, tx, augment=not args.no_augment)
+    eval_step = make_eval_step(model)
+
+    lr_at = cosine_annealing_warm_restarts(args.lr, t_0=100)
+    bg_schedule = BackgroundWeightSchedule(args.num_epochs, seed=args.seed)
+    no_jitters = jnp.ones((2,), jnp.float32)
+
+    loader = Batcher(train_ds, batch_size, shuffle=True, seed=args.seed, pad_final=True)
+    val_loader = Batcher(val_ds, 1, shuffle=False) if len(val_ds) else None
+    log_every = args.log_every if args.log_every is not None else max(len(loader) // 5, 1)
+
+    from .utils import MetricsLogger
+
+    metrics_log = MetricsLogger(os.path.join(args.models_dir, cfg.expt_name, "metrics.csv"))
+
+    for epoch in range(start_epoch + 1, args.num_epochs):
+        train_ds.set_augment_flag(True)
+        bg_weight = bg_schedule(epoch + 1)
+        gates = curriculum_gates(epoch)
+        gates3 = jnp.asarray(
+            [gates["focal_dice_w"], gates["bce_l_w"], gates["generalized_dice_w"]],
+            jnp.float32,
+        )
+        lr = lr_at(epoch + 1)
+
+        running = {k: 0.0 for k in (*LOSS_NAMES, "loss")}
+        count = 0
+        t0 = time.time()
+        images_seen = 0
+        for i, batch in enumerate(
+            device_prefetch(iter(loader), sharding=batch_sharding(mesh))
+        ):
+            step_rng = jax.random.fold_in(rng, epoch * 1_000_003 + i)
+            arrays = {"image": batch["image"], "label": batch["label"]}
+            state, metrics = train_step(
+                state, arrays, step_rng, bg_weight, gates3, lr, no_jitters
+            )
+            images_seen += arrays["image"].shape[0]
+            for k in running:
+                running[k] += float(metrics[k])
+            count += 1
+            if i % log_every == log_every - 1 or len(loader) < log_every:
+                print(
+                    "Epoch: %d ; Batch: %d/%d : Training Loss: %.8f" % (
+                        epoch + 1, i + 1, len(loader), running["loss"] / count)
+                )
+                print(
+                    "\t CE: %.8f; BCE: %.8f; Focal: %.8f; Dice: %.8f "
+                    "[D: %.6f, GD: %.6f, TwD: %.6f, FocD: %.6f]" % (
+                        running["ce"] / count, running["bce"] / count,
+                        running["focal"] / count,
+                        sum(running[k] for k in ("dice", "generalized_dice", "twersky", "focal_dice")) / count,
+                        running["dice"] / count, running["generalized_dice"] / count,
+                        running["twersky"] / count, running["focal_dice"] / count,
+                    )
+                )
+                running = {k: 0.0 for k in running}
+                count = 0
+        dt = time.time() - t0
+        if images_seen:
+            print(f"epoch {epoch}: {images_seen / dt:.1f} images/sec (bg_w={bg_weight:.3f}, lr={lr:.2e})")
+            metrics_log.log(
+                epoch=epoch, step=int(state.step), lr=lr, bg_weight=bg_weight,
+                loss=float(metrics["loss"]), bce=float(metrics["bce"]),
+                focal_dice=float(metrics["focal_dice"]),
+                images_per_sec=images_seen / dt,
+            )
+
+        if epoch % 10 == 0:
+            save_checkpoint(save_dir, cfg.expt_name, epoch, state)
+
+        if val_loader is not None:
+            train_ds.set_augment_flag(False)
+            val_loss, n_val = 0.0, 0
+            for j, batch in enumerate(val_loader):
+                out = eval_step(state, {"image": batch["image"], "label": batch["label"]})
+                val_loss += float(out["bce"])
+                n_val += batch["image"].shape[0]
+                if j < 10:
+                    save_val_triplets(
+                        "val_images", epoch, j, batch["image"][0],
+                        batch["label"][0], np.asarray(out["probs"])[0], cfg.organs,
+                    )
+            print("\nVal Loss: %.8f!" % (val_loss / max(n_val, 1)))
+
+    # final checkpoint so short runs always leave an artifact
+    save_checkpoint(save_dir, cfg.expt_name, args.num_epochs - 1, state)
+    print("finished training")
+    return state
+
+
+if __name__ == "__main__":
+    train()

@@ -1,0 +1,180 @@
+"""Sequential/"densenet-loss" trainer CLI:
+``python -m ecologysemanticsegmentation_tpu.train_multiclass_sequential_densenetloss``.
+
+Variant-trainer parity (reference
+``train_multiclass_sequential_densenetloss.py``):
+
+* ``composite_flag = len(ORGANS) > 1`` auto-enables the set-theory composite
+  losses (``:45``) — the cross-organ ventral/dorsal negative (intersection) +
+  positive (union) terms with weights 4.789…/4.480… (``:304-362``), provided
+  by :func:`..losses.sequential_densenet_composite`,
+* ``num_epochs=11000``, lr 1e-3, ``ReduceLROnPlateau(factor=0.75,
+  patience=50)`` stepped on val loss (``:81``),
+* checkpoints every 5 epochs (``:156-158``; the reference saves inside the
+  batch loop — we save at epoch end, same cadence),
+* loss = ``bce*bce_w + focal_dice_w*fdice + gdice_w*(gdice+twersky)``
+  (``:151``),
+* divergence guard: non-empty-prediction assert on val outputs
+  ("gradient descent gave no positives! aborting", ``:246``),
+* ``--depthwiseconv`` selects the DeepLabV3PlusDepthwise head; warm-starting
+  depthwise from vanilla checkpoints is provided by
+  ``models.import_torch.strip_smp_deeplab_prefix``-style param remap
+  (``:392-414``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch_size", default=7, type=int)
+    ap.add_argument("--start_epoch", default=0, type=int)
+    ap.add_argument("--lr", default=0.001, type=float)
+    ap.add_argument("--num_epochs", default=11000, type=int)
+    ap.add_argument("--early_stop_epoch", default=400, type=int)
+    ap.add_argument("--depthwiseconv", action="store_true")
+    ap.add_argument("--dataset", default="registry", choices=["registry", "synthetic"])
+    ap.add_argument("--models_dir", default="models")
+    ap.add_argument("--encoder", default="resnet34")
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--seed", default=0, type=int)
+    ap.add_argument("--no_augment", action="store_true")
+    return ap
+
+
+def train(args=None):
+    args = args if args is not None else build_argparser().parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from .config import EnvConfig
+    from .data import Batcher, device_prefetch, get_split_datasets
+    from .models import build_model
+    from .parallel import batch_sharding, create_mesh, local_batch_to_global, replicated_sharding
+    from .train import (
+        BackgroundWeightSchedule,
+        ReduceLROnPlateau,
+        create_train_state,
+        curriculum_gates,
+        load_recent_model,
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+        save_checkpoint,
+    )
+
+    cfg = EnvConfig.from_env()
+    composite_flag = cfg.num_classes > 1
+    print(f"Organs: {list(cfg.organs)} (composite set-theory losses: {composite_flag})")
+    if composite_flag:
+        assert cfg.num_classes == 3, (
+            "sequential composite losses hardcode the 3-organ "
+            "whole_body/ventral_side/dorsal_side structure (reference :304-362)"
+        )
+
+    mesh = create_mesh()
+    batch_size = local_batch_to_global(args.batch_size, mesh)
+
+    train_ds, val_ds, _ = get_split_datasets(cfg, synthetic=args.dataset == "synthetic")
+    assert len(train_ds) > 0, "empty training dataset"
+
+    model = build_model(
+        "deeplabv3plus", num_classes=cfg.num_classes, encoder_name=args.encoder,
+        depthwise=args.depthwiseconv,
+    )
+    tx = make_optimizer(args.lr)
+    rng = jax.random.PRNGKey(args.seed)
+    state = create_train_state(model, rng, (1, cfg.img_size, cfg.img_size, 3), tx)
+
+    save_dir = cfg.checkpoint_dir(args.models_dir)
+    start_epoch, state = load_recent_model(
+        save_dir, state, cfg.expt_name,
+        epoch=None if args.start_epoch == 0 else args.start_epoch,
+    )
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    train_step = make_train_step(
+        model, tx,
+        composite_mode="sequential" if composite_flag else "none",
+        augment=not args.no_augment,
+    )
+    eval_step = make_eval_step(model, apply_union_reverse=False)
+
+    plateau = ReduceLROnPlateau(args.lr, factor=0.75, patience=50)
+    bg_schedule = BackgroundWeightSchedule(args.num_epochs, seed=args.seed)
+    host_rng = np.random.RandomState(args.seed)
+
+    loader = Batcher(train_ds, batch_size, shuffle=True, seed=args.seed, pad_final=True)
+    val_loader = Batcher(val_ds, 1, shuffle=False) if len(val_ds) else None
+
+    lr = args.lr
+    for epoch in range(start_epoch + 1, args.num_epochs):
+        train_ds.set_augment_flag(True)
+        bg_weight = bg_schedule(epoch + 1)
+        gates = curriculum_gates(epoch)
+        gates3 = jnp.asarray(
+            [gates["focal_dice_w"], gates["bce_l_w"], gates["generalized_dice_w"]],
+            jnp.float32,
+        )
+        early_stopped = epoch > args.early_stop_epoch
+
+        t0, images_seen, ep_loss, n_batches = time.time(), 0, 0.0, 0
+        for i, batch in enumerate(
+            device_prefetch(iter(loader), sharding=batch_sharding(mesh))
+        ):
+            # host-side early-stop jitter (reference :311-312 np.random semantics)
+            if early_stopped:
+                jitters = jnp.asarray(
+                    1.0 - host_rng.randint(0, 2, 2) * host_rng.rand(2), jnp.float32
+                )
+            else:
+                jitters = jnp.ones((2,), jnp.float32)
+            step_rng = jax.random.fold_in(rng, epoch * 1_000_003 + i)
+            state, metrics = train_step(
+                state,
+                {"image": batch["image"], "label": batch["label"]},
+                step_rng, bg_weight, gates3, lr, jitters,
+            )
+            ep_loss += float(metrics["loss"])
+            n_batches += 1
+            images_seen += batch["image"].shape[0]
+        dt = time.time() - t0
+        if n_batches:
+            print(
+                f"Epoch {epoch + 1}: loss {ep_loss / n_batches:.6f} "
+                f"({images_seen / dt:.1f} img/s, lr={lr:.2e}, bg={bg_weight:.3f})"
+            )
+
+        if epoch % 5 == 0:
+            save_checkpoint(save_dir, cfg.expt_name, epoch, state)
+
+        if val_loader is not None:
+            train_ds.set_augment_flag(False)
+            val_loss, n_val = 0.0, 0
+            for batch in val_loader:
+                out = eval_step(state, {"image": batch["image"], "label": batch["label"]})
+                # Divergence guard (reference :246).
+                assert float(np.asarray(out["probs"]).sum()) > 0, (
+                    "gradient descent gave no positives! aborting"
+                )
+                val_loss += float(out["bce"])
+                n_val += 1
+            val_loss /= max(n_val, 1)
+            lr = plateau.step(val_loss)
+            print("Val Loss: %.8f!" % val_loss)
+
+    save_checkpoint(save_dir, cfg.expt_name, args.num_epochs - 1, state)
+    print("finished training")
+    return state
+
+
+if __name__ == "__main__":
+    train()

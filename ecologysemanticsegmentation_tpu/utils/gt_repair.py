@@ -1,0 +1,112 @@
+"""Ground-truth repair utilities.
+
+Rebuilds of the reference GT-repair scripts as callable functions:
+
+* :func:`remove_islands_in_segment_gt`, :func:`shoelace_algorithm`,
+  :func:`get_bounding_box_from_mask`, :func:`find_bbox_mask_problems` —
+  reference ``dataset/utils/bbox_masks_problem.py:10-68`` (drops contours with
+  shoelace area ≤ 1000; flags masks whose bbox ≈ the full image).
+* :func:`realign_cropped_mask` — reference
+  ``dataset/utils/manual_bbox_identification.py:16-119``: slides a cropped
+  mask over the full image minimizing masked MSE to recover the crop offset.
+  The reference runs at import with hardcoded home paths; here it is a pure
+  function (and the O(offsets · pixels) search is done with cv2.matchTemplate
+  instead of a Python double loop).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import cv2
+import numpy as np
+
+
+def shoelace_algorithm(poly: np.ndarray) -> float:
+    """Polygon area via the shoelace formula; poly is (N, 2) xy."""
+    x, y = poly[:, 0].astype(np.float64), poly[:, 1].astype(np.float64)
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def remove_islands_in_segment_gt(segment: np.ndarray, min_area: float = 1000.0) -> np.ndarray:
+    """Drop connected components whose contour area is ≤ ``min_area``."""
+    seg8 = (segment > 0).astype(np.uint8) * 255
+    contours, _ = cv2.findContours(seg8, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    out = np.zeros_like(seg8)
+    for cnt in contours:
+        if shoelace_algorithm(cnt.reshape(-1, 2)) > min_area:
+            cv2.drawContours(out, [cnt], -1, 255, -1)
+    return out
+
+
+def get_bounding_box_from_mask(mask: np.ndarray) -> tuple[int, int, int, int] | None:
+    """(x, y, w, h) bbox of the positive region, or None if empty."""
+    ys, xs = np.where(mask > 0)
+    if len(ys) == 0:
+        return None
+    return int(xs.min()), int(ys.min()), int(xs.max() - xs.min() + 1), int(ys.max() - ys.min() + 1)
+
+
+def find_bbox_mask_problems(
+    mask_dir: str, full_image_ratio: float = 0.95
+) -> list[str]:
+    """Flag mask files whose bbox covers ≈ the whole image — the reference's
+    "bbox masks problem" detector (``bbox_masks_problem.py`` __main__)."""
+    flagged = []
+    for path in sorted(glob.glob(os.path.join(mask_dir, "*"))):
+        mask = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if mask is None:
+            continue
+        bbox = get_bounding_box_from_mask(mask)
+        if bbox is None:
+            continue
+        _, _, w, h = bbox
+        if w >= full_image_ratio * mask.shape[1] and h >= full_image_ratio * mask.shape[0]:
+            flagged.append(path)
+    return flagged
+
+
+def realign_cropped_mask(
+    full_image: np.ndarray, cropped_mask: np.ndarray, cropped_image: np.ndarray
+) -> tuple[int, int]:
+    """Recover the (x, y) offset of a cropped annotation inside the full image
+    by minimizing masked squared error — template matching over the crop.
+
+    Returns the top-left offset of the best match.
+    """
+    full = cv2.cvtColor(full_image, cv2.COLOR_BGR2GRAY).astype(np.float32)
+    crop = cv2.cvtColor(cropped_image, cv2.COLOR_BGR2GRAY).astype(np.float32)
+    mask8 = (cropped_mask > 0).astype(np.uint8)
+    res = cv2.matchTemplate(full, crop, cv2.TM_SQDIFF, mask=mask8)
+    _, _, min_loc, _ = cv2.minMaxLoc(res)
+    return int(min_loc[0]), int(min_loc[1])
+
+
+def rebuild_bbox_dataset(
+    full_images_dir: str, crops_dir: str, out_dir: str
+) -> list[tuple[str, int, int]]:
+    """Re-align every cropped mask in ``crops_dir`` against its full image and
+    write full-size masks to ``out_dir`` (the reference's
+    ``bbox_to_segmentation_gt/`` rebuild)."""
+    os.makedirs(out_dir, exist_ok=True)
+    results = []
+    for crop_path in sorted(glob.glob(os.path.join(crops_dir, "*_mask.*"))):
+        stem = os.path.basename(crop_path).split("_mask")[0]
+        img_matches = glob.glob(os.path.join(full_images_dir, stem + ".*"))
+        crop_img_matches = glob.glob(os.path.join(crops_dir, stem + "_crop.*"))
+        if not img_matches or not crop_img_matches:
+            continue
+        full = cv2.imread(img_matches[0])
+        crop_mask = cv2.imread(crop_path, cv2.IMREAD_GRAYSCALE)
+        crop_img = cv2.imread(crop_img_matches[0])
+        if full is None or crop_mask is None or crop_img is None:
+            continue
+        x, y = realign_cropped_mask(full, crop_mask, crop_img)
+        out = np.zeros(full.shape[:2], np.uint8)
+        h, w = crop_mask.shape[:2]
+        out[y : y + h, x : x + w] = crop_mask
+        out_path = os.path.join(out_dir, stem + ".png")
+        cv2.imwrite(out_path, out)
+        results.append((out_path, x, y))
+    return results

@@ -1,0 +1,140 @@
+"""End-to-end CLI tests: train -> eval -> video, subprocess-driven on CPU
+with the synthetic fixture dataset (the reference's CLI surface, SURVEY §2.4)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(module, args, cwd, env_extra=None, timeout=900):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.update(env_extra or {})
+    return subprocess.run(
+        [sys.executable, "-m", module, "--platform", "cpu", *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=timeout,
+    )
+
+
+ENV = {
+    "ORGANS": "whole_body,ventral_side,dorsal_side",
+    "IMGSIZE": "48",
+    "EXPTNAME": "clitest",
+    "SAMPLE": "1",
+}
+
+
+@pytest.fixture(scope="module")
+def trained_dir(tmp_path_factory):
+    """Train 2 tiny epochs once; reused by eval/video tests."""
+    workdir = str(tmp_path_factory.mktemp("cli"))
+    r = run_cli(
+        "ecologysemanticsegmentation_tpu.train_multiclass",
+        ["--batch_size", "4", "--num_epochs", "2", "--dataset", "synthetic",
+         "--no_augment"],
+        cwd=workdir, env_extra=ENV,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "finished training" in r.stdout
+    return workdir
+
+
+def test_train_cli_artifacts(trained_dir):
+    ckpt_dir = os.path.join(trained_dir, "models", "clitest", "channels256", "img48")
+    ckpts = os.listdir(ckpt_dir)
+    assert any("epoch" in c for c in ckpts), ckpts
+    # val image triplets dumped
+    val_root = os.path.join(trained_dir, "val_images")
+    assert os.path.isdir(val_root) and os.listdir(val_root)
+
+
+def test_train_cli_resume(trained_dir):
+    """Second invocation resumes from the latest checkpoint."""
+    r = run_cli(
+        "ecologysemanticsegmentation_tpu.train_multiclass",
+        ["--batch_size", "4", "--num_epochs", "3", "--dataset", "synthetic",
+         "--no_augment"],
+        cwd=trained_dir, env_extra=ENV,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Used latest model file" in r.stdout
+
+
+def test_eval_cli_dice_ranking(trained_dir):
+    r = run_cli(
+        "ecologysemanticsegmentation_tpu.test_multiclass",
+        ["--dataset", "synthetic", "--batch_size", "4"],
+        cwd=trained_dir, env_extra=ENV,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Test Dice Score" in r.stdout
+    assert "Organ : whole_body DICE Score" in r.stdout
+    # idempotent skip on re-run
+    r2 = run_cli(
+        "ecologysemanticsegmentation_tpu.test_multiclass",
+        ["--dataset", "synthetic", "--batch_size", "4"],
+        cwd=trained_dir, env_extra=ENV,
+    )
+    assert "Test already done" in r2.stdout
+
+
+def test_sequential_train_cli(tmp_path):
+    r = run_cli(
+        "ecologysemanticsegmentation_tpu.train_multiclass_sequential_densenetloss",
+        ["--batch_size", "4", "--num_epochs", "2", "--dataset", "synthetic",
+         "--no_augment"],
+        cwd=str(tmp_path), env_extra=ENV,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "composite set-theory losses: True" in r.stdout
+    assert "finished training" in r.stdout
+
+
+def test_video_cli(trained_dir, tmp_path):
+    import cv2
+
+    # make a tiny test video
+    video_path = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"), 5, (64, 64))
+    rng = np.random.RandomState(0)
+    for _ in range(6):
+        w.write(rng.randint(0, 255, (64, 64, 3), np.uint8))
+    w.release()
+
+    ckpt_dir = os.path.join(trained_dir, "models", "clitest", "channels256", "img48")
+    ckpt = os.path.join(ckpt_dir, sorted(os.listdir(ckpt_dir))[-1])
+    result_dir = str(tmp_path / "out")
+    r = run_cli(
+        "ecologysemanticsegmentation_tpu.test_video",
+        ["--model_path", ckpt, "--video_path", video_path,
+         "--result_dir", result_dir, "--batch_size", "4",
+         "--reassemble", str(tmp_path / "out.mp4")],
+        cwd=str(tmp_path), env_extra=ENV,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    outs = os.listdir(result_dir)
+    assert len([f for f in outs if f.startswith("output_frame_")]) == 6
+    assert os.path.exists(tmp_path / "out.mp4")
+    assert (tmp_path / "out.mp4").stat().st_size > 0
+
+
+def test_bench_emits_json_line(tmp_path):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import bench; bench.main(batch_size=2, steps=2, warmup=1)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    data = json.loads(line)
+    assert set(data) >= {"metric", "value", "unit", "vs_baseline"}
+    assert data["value"] > 0

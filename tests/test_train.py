@@ -1,0 +1,205 @@
+"""Train-step, checkpoint, schedule, and parallelism tests (tiny shapes, CPU)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecologysemanticsegmentation_tpu.models import build_model
+from ecologysemanticsegmentation_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    replicated_sharding,
+    shard_params_for_model_axis,
+)
+from ecologysemanticsegmentation_tpu.train import (
+    BackgroundWeightSchedule,
+    ReduceLROnPlateau,
+    cosine_annealing_warm_restarts,
+    create_train_state,
+    curriculum_gates,
+    list_checkpoints,
+    load_recent_model,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    save_checkpoint,
+)
+
+ORGANS3 = ("whole_body", "ventral_side", "dorsal_side")
+
+
+@pytest.fixture
+def tiny_setup():
+    # NOTE: the train step donates its input state, so every test needs a
+    # fresh TrainState (a donated state's buffers are deleted).
+    model = build_model("unet", num_classes=3)  # lighter than deeplab for CI speed
+    tx = make_optimizer(1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    return model, tx, state
+
+
+def _batch(rng, b=4, size=32, c=3):
+    return {
+        "image": jnp.asarray(rng.rand(b, size, size, 3).astype(np.float32)),
+        "label": jnp.asarray((rng.rand(b, size, size, c) > 0.5).astype(np.float32)),
+    }
+
+
+def test_train_step_reduces_loss(tiny_setup, rng):
+    model, tx, state = tiny_setup
+    step = make_train_step(model, tx, augment=False)
+    batch = _batch(rng)
+    gates = jnp.ones(3)
+    jit1 = jnp.ones(2)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i), 0.0, gates, 1e-3, jit1)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    assert int(state.step) == 8
+
+
+def test_train_step_composite_modes(tiny_setup, rng):
+    model, tx, _ = tiny_setup
+    batch = _batch(rng)
+    gates = jnp.ones(3)
+    for mode, jshape in [("sequential", (2,)), ("general", (3, 3))]:
+        # fresh state per mode: the step donates its input state
+        state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+        step = make_train_step(model, tx, composite_mode=mode, augment=False)
+        s2, metrics = step(
+            state, batch, jax.random.PRNGKey(0), 0.1, gates, 1e-3, jnp.ones(jshape)
+        )
+        assert np.isfinite(float(metrics["loss"]))
+
+
+def test_eval_step_dice_and_union_reverse(tiny_setup, rng):
+    model, tx, state = tiny_setup
+    batch = _batch(rng)
+    out = make_eval_step(model)(state, batch)
+    assert out["dice"].shape == (3,)
+    out2 = make_eval_step(model, apply_union_reverse=True)(state, batch)
+    assert np.isfinite(np.asarray(out2["dice"])).all()
+
+
+def test_checkpoint_roundtrip_and_resume(tiny_setup, tmp_path, rng):
+    model, tx, state = tiny_setup
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, "expt", 10, state)
+    save_checkpoint(d, "expt", 30, state)
+    save_checkpoint(d, "expt", 20, state)
+    assert [e for e, _ in list_checkpoints(d, "expt")] == [10, 20, 30]
+
+    epoch, restored = load_recent_model(d, state, "expt")
+    assert epoch == 30  # argmax over parsed epochs
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.params, restored.params,
+    )
+    epoch, _ = load_recent_model(d, state, "expt", epoch=20)
+    assert epoch == 20
+    epoch, _ = load_recent_model(str(tmp_path / "nope"), state, "expt")
+    assert epoch == -1  # fresh-start contract
+
+    # corrupt checkpoint -> skipped (None)
+    from ecologysemanticsegmentation_tpu.train import load_checkpoint_file
+
+    bad = tmp_path / "ck" / "expt_epoch99.ckpt"
+    bad.write_bytes(b"not a checkpoint")
+    assert load_checkpoint_file(str(bad), state) is None
+
+
+def test_cosine_warm_restarts_matches_torch_scheduler():
+    import torch
+
+    lr_at = cosine_annealing_warm_restarts(0.1, t_0=10)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.1)
+    sched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(opt, 10)
+    for epoch in range(25):
+        sched.step(epoch)
+        np.testing.assert_allclose(opt.param_groups[0]["lr"], lr_at(epoch), rtol=1e-6)
+
+
+def test_background_weight_schedule_semantics():
+    s = BackgroundWeightSchedule(5000, seed=0)
+    assert s(0) == 0.0
+    assert s(100) == 0.0          # N/5 entry shadowed -> still 0
+    assert s(1300) == 0.0         # before 1.6N/5=1600
+    assert s(1700) == 0.5
+    assert s(1900) == 0.7
+    w = s(2150)                   # first random cycle (2000-2100 band -> key 2100? 2150 in [2100,2200))
+    assert 0.0 <= w <= 1.0
+    assert isinstance(s(4999), float)  # past last key: no crash (deviation)
+
+
+def test_reduce_lr_on_plateau():
+    r = ReduceLROnPlateau(1.0, factor=0.5, patience=2)
+    assert r.step(1.0) == 1.0
+    assert r.step(2.0) == 1.0
+    assert r.step(2.0) == 1.0
+    assert r.step(2.0) == 0.5  # 3rd bad epoch > patience
+
+
+def test_curriculum_gates_reference_points():
+    g = curriculum_gates(100)
+    assert g["generalized_dice_w"] == 1.0 and g["bce_l_w"] == 1.0
+    g = curriculum_gates(3000)
+    assert g["focal_dice_w"] == 1.0
+    assert g["bce_l_w"] == 1.0  # 3000 % 5 == 0
+    assert curriculum_gates(3001)["bce_l_w"] == 0.0
+
+
+def test_data_parallel_step_on_mesh(rng):
+    """Full train step over an 8-device (4 dp x 2 tp) virtual mesh."""
+    assert jax.device_count() >= 8
+    mesh = create_mesh(8, model_parallel=2)
+    model = build_model("unet", num_classes=3)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    state = state.replace(
+        params=jax.device_put(
+            state.params, shard_params_for_model_axis(state.params, mesh)
+        ),
+        batch_stats=jax.device_put(state.batch_stats, replicated_sharding(mesh)),
+        opt_state=jax.device_put(state.opt_state, replicated_sharding(mesh)),
+        step=jax.device_put(state.step, replicated_sharding(mesh)),
+    )
+    batch = _batch(rng, b=8)
+    batch = {k: jax.device_put(v, batch_sharding(mesh)) for k, v in batch.items()}
+    step = make_train_step(model, tx, augment=False)
+    with mesh:
+        state, metrics = step(
+            state, batch, jax.random.PRNGKey(0), 0.0, jnp.ones(3), 1e-3, jnp.ones(2)
+        )
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sharded_step_matches_single_device(rng):
+    """DP over the mesh must be numerically equivalent to single-device
+    (global BN stats + summed losses make it exact up to float assoc)."""
+    model = build_model("unet", num_classes=1)
+    tx = make_optimizer(1e-3)
+    state0 = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    batch = _batch(rng, b=8, c=1)
+    step = make_train_step(model, tx, augment=False)
+    args = (jax.random.PRNGKey(0), 0.0, jnp.ones(3), 1e-3, jnp.ones(2))
+
+    # independent copy: the step donates state0's buffers, and device_put may
+    # alias the source buffer on the origin device
+    mesh = create_mesh(4, model_parallel=1)
+    state_copy = jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), state0)
+    stated = jax.device_put(state_copy, replicated_sharding(mesh))
+
+    _, m_single = step(state0, batch, *args)
+    batchd = {k: jax.device_put(v, batch_sharding(mesh)) for k, v in batch.items()}
+    with mesh:
+        _, m_shard = step(stated, batchd, *args)
+    # bf16 model compute + different reduction orders across shards -> small
+    # but nonzero drift; equivalence is structural, tolerance covers rounding
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_shard["loss"]), rtol=5e-3
+    )

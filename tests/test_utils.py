@@ -1,0 +1,120 @@
+"""Utils layer tests: visualizer, edges, GT repair, color distribution, saliency."""
+
+import numpy as np
+import pytest
+
+from ecologysemanticsegmentation_tpu import utils
+
+ORGANS3 = ["whole_body", "ventral_side", "dorsal_side"]
+
+
+def _fish(size=96):
+    import cv2
+
+    img = np.full((size, size, 3), 40, np.uint8)
+    cv2.ellipse(img, (48, 48), (30, 14), 0, 0, 360, (200, 120, 60), -1)
+    chans = []
+    for axes in [(30, 14), (20, 9), (12, 5)]:
+        c = np.zeros((size, size), np.uint8)
+        cv2.ellipse(c, (48, 48), axes, 0, 0, 360, 255, -1)
+        chans.append(c)
+    return img, np.stack(chans, axis=-1)
+
+
+def test_display_composite_annotations_return_image():
+    img, mask = _fish()
+    out = utils.display_composite_annotations(img, mask, ORGANS3, verbose=False)
+    assert len(out) == 4  # 3 organ overlays + all_parts
+    assert "all_parts" in out[-1]
+    blended = out[-1]["all_parts"]
+    assert blended.shape == img.shape
+    assert not np.array_equal(blended, img)  # something was overlaid
+
+
+def test_display_warns_on_ignore_labels(capsys):
+    img, mask = _fish()
+    m = mask.astype(np.int16)
+    m[..., 1] = -1
+    utils.display_composite_annotations(img, m, ORGANS3, verbose=False)
+    assert "will not be learnt" in capsys.readouterr().out
+
+
+def test_detect_edges_methods():
+    img, _ = _fish()
+    for method in ("sobel", "canny", "DoG"):
+        edges = utils.detect_edges(img, method=method)
+        assert edges.shape == (96, 96)
+        assert edges.sum() > 0
+
+
+def test_detect_inner_edges_membership():
+    _, mask = _fish()
+    gt = (mask / 255.0).astype(np.float32)[None]
+    pred = gt.copy()
+    # predict organ0 slightly dilated -> over-expressed edge pixels exist
+    import cv2
+
+    pred[0, ..., 0] = cv2.dilate(pred[0, ..., 0], np.ones((5, 5)))
+    results = utils.detect_inner_edges(pred, gt)
+    assert len(results) == 2  # organ pairs (0,1), (1,2)
+    assert results[0]["pred_sub_gt_edges"].sum() > 0
+
+
+def test_remove_islands_and_shoelace():
+    import cv2
+
+    seg = np.zeros((128, 128), np.uint8)
+    cv2.rectangle(seg, (10, 10), (80, 80), 255, -1)  # big: area ~4900
+    cv2.rectangle(seg, (100, 100), (110, 110), 255, -1)  # small island: area 100
+    out = utils.remove_islands_in_segment_gt(seg)
+    assert out[40, 40] == 255
+    assert out[105, 105] == 0
+    square = np.array([[0, 0], [10, 0], [10, 10], [0, 10]])
+    assert utils.shoelace_algorithm(square) == 100.0
+
+
+def test_bbox_helpers(tmp_path):
+    import cv2
+
+    mask = np.zeros((64, 64), np.uint8)
+    mask[8:40, 16:48] = 255
+    assert utils.get_bounding_box_from_mask(mask) == (16, 8, 32, 32)
+    assert utils.get_bounding_box_from_mask(np.zeros((8, 8))) is None
+
+    # full-image bbox -> flagged
+    cv2.imwrite(str(tmp_path / "bad.png"), np.full((64, 64), 255, np.uint8))
+    cv2.imwrite(str(tmp_path / "good.png"), mask)
+    flagged = utils.find_bbox_mask_problems(str(tmp_path))
+    assert [f.endswith("bad.png") for f in flagged] == [True]
+
+
+def test_realign_cropped_mask():
+    img, mask = _fish()
+    crop = img[20:70, 10:80]
+    crop_mask = mask[20:70, 10:80, 0]
+    x, y = utils.realign_cropped_mask(img, crop_mask, crop)
+    assert (x, y) == (10, 20)
+
+
+def test_color_distribution():
+    img = np.zeros((10, 10, 3), np.float32)
+    img[:5] = (1.0, 0.0, 0.0)  # red
+    img[5:] = (0.0, 0.0, 1.0)  # blue
+    mask = np.ones((10, 10))
+    counts = utils.SegmentColorDistribution()(img, mask)
+    assert counts["red"] == 50 and counts["blue"] == 50
+
+
+def test_grad_cam_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from ecologysemanticsegmentation_tpu.models import build_model
+
+    model = build_model("deeplabv3plus", num_classes=2)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    heat = utils.grad_cam(model, variables, jnp.ones((1, 64, 64, 3)) * 0.5, organ_index=0)
+    heat = np.asarray(heat)
+    assert heat.shape == (1, 64, 64)
+    assert np.isfinite(heat).all() and heat.max() <= 1.0 + 1e-6
