@@ -160,3 +160,55 @@ class FishDataset:
             ratios_union = ratios_union / max(ratios_union.max(), 1e-9)
             return ratios, ratios_union
         return ratios
+
+
+def _main():  # pragma: no cover - inspection entry
+    """Dataset inspection entry (reference call stack SURVEY §3.4:
+    ``python -m ...dataset.fish.fish_dataset --visualize``): builds the splits,
+    prints per-organ relative ratios, and writes union-transformed sample
+    visualizations to ``--out_dir`` (headless stand-in for cv2.imshow)."""
+    import argparse
+    import os
+
+    import cv2
+
+    from ..config import EnvConfig
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--visualize", default="alvaradolab")
+    ap.add_argument("--out_dir", default="dataset_inspect")
+    ap.add_argument("--limit", type=int, default=8)
+    ap.add_argument("--synthetic", action="store_true")
+    args = ap.parse_args()
+
+    cfg = EnvConfig.from_env()
+    from . import get_split_datasets
+
+    train, val, test = get_split_datasets(cfg, synthetic=args.synthetic)
+    print("train dataset: %d images" % len(train))
+    print("val dataset: %d images" % len(val))
+    print("relative ratios:", train.get_relative_ratios(ignore_superset=[0]))
+
+    import jax.numpy as jnp
+
+    from ..losses import return_union_sets_descending_order
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i in range(min(args.limit, len(train))):
+        img, seg, fname = train[i]
+        seg_u = np.asarray(return_union_sets_descending_order(jnp.asarray(seg)[None]))[0]
+        cv2.imwrite(
+            os.path.join(args.out_dir, f"{i}_img.png"),
+            cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2BGR),
+        )
+        for c in range(seg_u.shape[-1]):
+            cv2.imwrite(
+                os.path.join(args.out_dir, f"{i}_union_organ{c}.png"),
+                (np.clip(seg_u[..., c], 0, 1) * 255).astype(np.uint8),
+            )
+        print(fname)
+    print("test dataset: %d images" % len(test))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _main()

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from .common import StochasticDropout, ConvBNAct, SeparableConvBNAct
 from .deeplabv3plus import ASPP, DeepLabV3Plus, DeepLabV3PlusDepthwise
 from .resnet import ResNetEncoder, resnet34, resnet50, ENCODER_FEATURES
+from .mbdeconv import EfficientNetDeconvDecoder, MBDeconv
 from .unet import UNet
 from .vgg import VGGUNet, VGGUNetEncoder, VGGUNetDecoder, DeconvNormActivation
 
@@ -54,6 +55,7 @@ __all__ = [
     "ASPP", "DeepLabV3Plus", "DeepLabV3PlusDepthwise", "UNet", "VGGUNet",
     "VGGUNetEncoder", "VGGUNetDecoder", "DeconvNormActivation",
     "ResNetEncoder", "resnet34", "resnet50", "ENCODER_FEATURES",
+    "MBDeconv", "EfficientNetDeconvDecoder",
     "StochasticDropout", "ConvBNAct", "SeparableConvBNAct",
     "build_model", "MODEL_NAMES",
 ]

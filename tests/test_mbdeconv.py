@@ -1,0 +1,34 @@
+"""MBDeconv / EfficientNetDeconvDecoder tests (working form of the
+reference's dead experimental code, SURVEY §2.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ecologysemanticsegmentation_tpu.models import EfficientNetDeconvDecoder, MBDeconv
+
+
+def test_mbdeconv_upsample_block():
+    m = MBDeconv(features=32, stride=2)
+    x = jnp.zeros((2, 8, 8, 64))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (2, 16, 16, 32)
+
+
+def test_mbdeconv_residual_when_same_shape():
+    m = MBDeconv(features=16, stride=1, stochastic_dropout_p=0.0)
+    x = jnp.ones((1, 8, 8, 16))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_efficientnet_deconv_decoder():
+    d = EfficientNetDeconvDecoder(num_classes=3)
+    x = jnp.zeros((1, 4, 4, 256))
+    v = d.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = d.apply(v, x, train=False)
+    assert out.shape == (1, 64, 64, 3)  # 4 stages of x2
+    assert out.dtype == jnp.float32
