@@ -41,6 +41,8 @@ from typing import Callable
 import cv2
 import numpy as np
 
+from . import native
+
 SAMPLE_LIMIT = 60  # reference SAMPLE truncation (fish_coco_annotator.py:32-33)
 SAMPLE_LIMIT_FOLDERS = 20  # ml_training_set variant (fish_segmentation.py:159-160)
 
@@ -160,7 +162,7 @@ def get_alvaradolab_data(
             oi = organs.index(organ)
             seen.add(oi)
             chan = np.zeros((img_shape, img_shape), np.uint8)
-            cv2.fillPoly(chan, [poly], 255)
+            native.fill_polygon(chan, poly)  # C++ scanline fill (cv2 fallback)
             if chan.sum() / 255.0 < min_segment_positivity_ratio * img_shape * img_shape:
                 mask[:, :, oi] = -1.0  # too-small organ -> ignore
             else:
