@@ -87,3 +87,51 @@ def load_checkpoint_file(path: str, template_state: Any) -> Any | None:
     except Exception:
         traceback.print_exc()
         return None
+
+
+class OrbaxCheckpointManager:
+    """Async, preemption-safe checkpointing via orbax (SURVEY.md §5
+    checkpoint/resume row) — the TPU-production alternative to the msgpack
+    files above.  Epoch-addressable like the reference layout:
+    ``<save_dir>/orbax/<epoch>/``.  ``save`` returns immediately (async
+    write); ``wait`` blocks until all pending writes land.
+    """
+
+    def __init__(self, save_dir: str, max_to_keep: int | None = None):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(os.path.join(save_dir, "orbax"))
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, enable_async_checkpointing=True
+            ),
+        )
+
+    def save(self, epoch: int, state: Any) -> None:
+        self.manager.save(epoch, args=self._ocp.args.StandardSave(jax.device_get(state)))
+
+    def wait(self) -> None:
+        self.manager.wait_until_finished()
+
+    def latest_epoch(self) -> int | None:
+        return self.manager.latest_step()
+
+    def restore(self, template_state: Any, epoch: int | None = None) -> tuple[int, Any]:
+        """(epoch, state); (-1, template) when nothing is available."""
+        step = epoch if epoch is not None else self.manager.latest_step()
+        if step is None:
+            return -1, template_state
+        try:
+            restored = self.manager.restore(
+                step, args=self._ocp.args.StandardRestore(jax.device_get(template_state))
+            )
+            return step, restored
+        except Exception:
+            traceback.print_exc()
+            return -1, template_state
+
+    def close(self) -> None:
+        self.manager.close()

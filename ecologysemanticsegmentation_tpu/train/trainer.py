@@ -29,6 +29,7 @@ from ..data.augment import augment_batch
 from ..losses import (
     LOSS_NAMES,
     binary_cross_entropy,
+    binary_cross_entropy_list,
     dice_score,
     return_union_sets_descending_order,
     seven_losses,
@@ -82,6 +83,7 @@ def make_train_step(
     composite_mode: str = "none",
     augment: bool = True,
     loss_formula: str = "multiclass",
+    deepsupervision: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -131,6 +133,14 @@ def make_train_step(
                 mutable=["batch_stats"],
                 rngs={"dropout": jax.random.fold_in(rng, 1)},
             )
+            ds_heads = ()
+            if deepsupervision:
+                # Model returns (logits, [side heads shallowest-first]) — the
+                # reference's promised-but-empty deepsupervision path
+                # (model/deepsupervision.py is a 0-line file; plumbing at
+                # fish_dataset.py:162-164), completed here: side heads are
+                # scored with BCE against resized label pyramids.
+                out, ds_heads = out
             probs = jax.nn.sigmoid(out.astype(jnp.float32))
             seven = seven_fn(probs, labels, bg_weight, jitters)
             loss = (
@@ -138,6 +148,14 @@ def make_train_step(
                 + gates3[1] * seven[1]        # bce
                 + gates3[2] * (seven[4] + seven[5])  # generalized_dice + twersky
             )
+            if deepsupervision:
+                from ..ops.resize import resize_nearest
+
+                ds_gts = [
+                    resize_nearest(labels, h.shape[1:3]) for h in ds_heads
+                ]
+                ds_probs = [jax.nn.sigmoid(h.astype(jnp.float32)) for h in ds_heads]
+                loss = loss + binary_cross_entropy_list(ds_gts, ds_probs)
             return loss, (seven, mutated["batch_stats"])
 
         (loss, (seven, new_stats)), grads = jax.value_and_grad(

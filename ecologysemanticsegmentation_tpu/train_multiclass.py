@@ -52,6 +52,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--seed", default=0, type=int)
     ap.add_argument("--log_every", default=None, type=int)
     ap.add_argument("--no_augment", action="store_true")
+    ap.add_argument("--deepsupervision", action="store_true",
+                    help="Train vgg_unet with side heads + BCE label pyramids "
+                         "(completes the reference's empty deepsupervision.py)")
     return ap
 
 
@@ -108,9 +111,10 @@ def train(args=None):
     train_ds, val_ds, _ = get_split_datasets(cfg, synthetic=args.dataset == "synthetic")
     assert len(train_ds) > 0, "empty training dataset — check data dir or use --dataset synthetic"
 
+    model_name = "vgg_unet" if args.deepsupervision else args.model
     model = build_model(
-        args.model, num_classes=cfg.num_classes, encoder_name=args.encoder,
-        max_channels=cfg.max_channels,
+        model_name, num_classes=cfg.num_classes, encoder_name=args.encoder,
+        max_channels=cfg.max_channels, deepsupervision=args.deepsupervision,
     )
     tx = make_optimizer(args.lr)
     rng = jax.random.PRNGKey(args.seed)
@@ -122,8 +126,10 @@ def train(args=None):
     )
     state = jax.device_put(state, replicated_sharding(mesh))
 
-    train_step = make_train_step(model, tx, augment=not args.no_augment)
-    eval_step = make_eval_step(model)
+    train_step = make_train_step(
+        model, tx, augment=not args.no_augment, deepsupervision=args.deepsupervision
+    )
+    eval_step = make_eval_step(model) if not args.deepsupervision else None
 
     lr_at = cosine_annealing_warm_restarts(args.lr, t_0=100)
     bg_schedule = BackgroundWeightSchedule(args.num_epochs, seed=args.seed)
@@ -193,7 +199,7 @@ def train(args=None):
         if epoch % 10 == 0:
             save_checkpoint(save_dir, cfg.expt_name, epoch, state)
 
-        if val_loader is not None:
+        if val_loader is not None and eval_step is not None:
             train_ds.set_augment_flag(False)
             val_loss, n_val = 0.0, 0
             for j, batch in enumerate(val_loader):

@@ -203,3 +203,40 @@ def test_sharded_step_matches_single_device(rng):
     np.testing.assert_allclose(
         float(m_single["loss"]), float(m_shard["loss"]), rtol=5e-3
     )
+
+
+def test_deepsupervision_train_step(rng):
+    """DS path: vgg_unet side heads + BCE label pyramids (completes the
+    reference's empty deepsupervision.py)."""
+    model = build_model("vgg_unet", num_classes=2, max_channels=256, deepsupervision=True)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    step = make_train_step(model, tx, augment=False, deepsupervision=True)
+    batch = _batch(rng, b=2, size=32, c=2)
+    state, metrics = step(
+        state, batch, jax.random.PRNGKey(0), 0.0, jnp.ones(3), 1e-3, jnp.ones(2)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_orbax_async_checkpoint_roundtrip(tiny_setup, tmp_path):
+    from ecologysemanticsegmentation_tpu.train.checkpoint import OrbaxCheckpointManager
+
+    model, tx, state = tiny_setup
+    mgr = OrbaxCheckpointManager(str(tmp_path))
+    mgr.save(5, state)
+    mgr.save(10, state)
+    mgr.wait()
+    assert mgr.latest_epoch() == 10
+    epoch, restored = mgr.restore(state)
+    assert epoch == 10
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    epoch, _ = mgr.restore(state, epoch=5)
+    assert epoch == 5
+    mgr.close()
+
+    empty = OrbaxCheckpointManager(str(tmp_path / "fresh"))
+    assert empty.restore(state)[0] == -1
+    empty.close()
