@@ -315,11 +315,16 @@ def _clahe(key, x):
     excess = jnp.sum(jnp.maximum(hist - cap, 0.0), axis=1, keepdims=True)
     hist = jnp.minimum(hist, cap) + excess / _CLAHE_BINS
     cdf = jnp.cumsum(hist, axis=1) / n  # (B, bins), monotone to ~1
-    # piecewise-constant LUT application via a batched small-table gather
+    # Piecewise-constant LUT application as a one-hot einsum: a per-element
+    # take_along_axis gather here measured 38 ms (dominating the whole
+    # augmentation pipeline); the one-hot contraction rides the MXU instead.
     full_idx = jnp.clip(
         (luma.reshape(b, -1) * (_CLAHE_BINS - 1)).astype(jnp.int32), 0, _CLAHE_BINS - 1
     )
-    new_luma = jnp.take_along_axis(cdf, full_idx, axis=1).reshape(b, h, w)
+    one_hot_full = (full_idx[..., None] == jnp.arange(_CLAHE_BINS)).astype(jnp.float32)
+    new_luma = jnp.einsum(
+        "npk,nk->np", one_hot_full, cdf, preferred_element_type=jnp.float32
+    ).reshape(b, h, w)
     scale = new_luma / jnp.maximum(luma, 1e-6)
     return x * scale[..., None]
 

@@ -351,6 +351,46 @@ def binary_cross_entropy_list(gts: Sequence[jax.Array], preds: Sequence[jax.Arra
     return total
 
 
+def cross_entropy_list(gts: Sequence[jax.Array], preds: Sequence[jax.Array]) -> jax.Array:
+    """Working form of reference ``cross_entropy_list`` (``loss_functions.py:22``).
+
+    The reference's lambda calls ``torch.sum`` on a Python list — a TypeError
+    if ever invoked (dead-if-called code); here it is the obvious working sum.
+    Prob-target CE over single-channel pyramids is identically 0 (see
+    :func:`prob_cross_entropy`), kept for parity.
+    """
+    total = jnp.zeros((), jnp.float32)
+    for y, p in zip(gts, preds):
+        total = total + prob_cross_entropy(p, y)
+    return total
+
+
+def focal_list(
+    gts: Sequence[jax.Array], preds: Sequence[jax.Array], factor: float = 0.1
+) -> jax.Array:
+    """Working form of reference ``focal_list`` (``loss_functions.py:23``);
+    same dead-``torch.sum``-on-list caveat as :func:`cross_entropy_list`."""
+    total = jnp.zeros((), jnp.float32)
+    for y, p in zip(gts, preds):
+        fl = -jnp.power(1.0 - p, 1.5) * jnp.log(p + EPS)
+        total = total + factor * jnp.mean(fl)
+    return total
+
+
+def classification_dice_list(gts: Sequence[jax.Array], preds: Sequence[jax.Array]) -> jax.Array:
+    """Working form of reference ``classification_dice_list``
+    (``loss_functions.py:24``): sums the 4 dice-family losses per pyramid level
+    with background_weight=1 and ``classification_dice_loss``'s *default*
+    factor 1e3 (multiplier 330 = 100x the trainers' factor-10 form); returns a
+    (4,) vector.  (The reference lambda is dead-if-called: it passes a ``bce``
+    kwarg the callee doesn't accept and ``torch.sum``s a Python list.)"""
+    total = jnp.zeros((4,), jnp.float32)
+    for y, p in zip(gts, preds):
+        per = _seven_per_channel(y, p, background_weight=1.0)
+        total = total + 100.0 * jnp.sum(per[3:7], axis=-1)
+    return total
+
+
 @functools.partial(jax.jit, static_argnames=("num_classes",))
 def relative_ratios(segments: jax.Array, num_classes: int) -> jax.Array:
     """Per-organ positive-pixel ratios, the source of the hardcoded loss

@@ -15,11 +15,20 @@ import jax.numpy as jnp
 from .common import StochasticDropout, ConvBNAct, SeparableConvBNAct
 from .deeplabv3plus import ASPP, DeepLabV3Plus, DeepLabV3PlusDepthwise
 from .resnet import ResNetEncoder, resnet34, resnet50, ENCODER_FEATURES
+from .efficientnet_v2s import (
+    EfficientNetV2SEncoder,
+    EfficientNetV2SUNet,
+    FusedMBConv,
+    MBConv,
+)
 from .mbdeconv import EfficientNetDeconvDecoder, MBDeconv
 from .unet import UNet
 from .vgg import VGGUNet, VGGUNetEncoder, VGGUNetDecoder, DeconvNormActivation
 
-MODEL_NAMES = ("deeplabv3plus", "deeplabv3plus_depthwise", "unet", "vgg_unet")
+MODEL_NAMES = (
+    "deeplabv3plus", "deeplabv3plus_depthwise", "unet", "vgg_unet",
+    "efficientnet_v2s_unet",
+)
 
 
 def build_model(
@@ -48,6 +57,8 @@ def build_model(
             num_classes=num_classes, max_channels=max_channels,
             deepsupervision=deepsupervision, dtype=dtype,
         )
+    if name == "efficientnet_v2s_unet":
+        return EfficientNetV2SUNet(num_classes=num_classes, dtype=dtype)
     raise ValueError(f"unknown model {name!r}; choose from {MODEL_NAMES}")
 
 
@@ -56,6 +67,7 @@ __all__ = [
     "VGGUNetEncoder", "VGGUNetDecoder", "DeconvNormActivation",
     "ResNetEncoder", "resnet34", "resnet50", "ENCODER_FEATURES",
     "MBDeconv", "EfficientNetDeconvDecoder",
+    "EfficientNetV2SEncoder", "EfficientNetV2SUNet", "FusedMBConv", "MBConv",
     "StochasticDropout", "ConvBNAct", "SeparableConvBNAct",
     "build_model", "MODEL_NAMES",
 ]

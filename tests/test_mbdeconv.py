@@ -32,3 +32,28 @@ def test_efficientnet_deconv_decoder():
     out = d.apply(v, x, train=False)
     assert out.shape == (1, 64, 64, 3)  # 4 stages of x2
     assert out.dtype == jnp.float32
+
+
+def test_efficientnet_v2s_encoder_pyramid():
+    from ecologysemanticsegmentation_tpu.models import EfficientNetV2SEncoder
+
+    enc = EfficientNetV2SEncoder(depth_multiplier=0.2)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = enc.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    feats = enc.apply(v, x, train=False)
+    assert [f.shape[1] for f in feats] == [32, 16, 8, 4, 2]
+    assert feats[-1].shape[-1] == 256
+
+
+def test_efficientnet_v2s_unet():
+    from ecologysemanticsegmentation_tpu.models import build_model
+
+    m = build_model("efficientnet_v2s_unet", num_classes=2)
+    # tiny depth via direct class for test speed
+    from ecologysemanticsegmentation_tpu.models import EfficientNetV2SUNet
+
+    m = EfficientNetV2SUNet(num_classes=2, depth_multiplier=0.2)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 64, 64, 2)
