@@ -101,6 +101,9 @@ def _bilinear_warp(x: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     wy = (ys - y0f)[None, :, :, None]
     wx = (xs - x0f)[None, :, :, None]
 
+    wy = wy.astype(x.dtype)
+    wx = wx.astype(x.dtype)
+
     def at(yi, xi):
         yi = _reflect101(yi.astype(jnp.int32), h)
         xi = _reflect101(xi.astype(jnp.int32), w)
@@ -165,7 +168,7 @@ def _hsv_to_rgb(hsv: jax.Array) -> jax.Array:
 
 
 def _luma(img: jax.Array) -> jax.Array:
-    return jnp.einsum("nhwc,c->nhw", img, jnp.asarray(_LUMA))
+    return jnp.einsum("nhwc,c->nhw", img, jnp.asarray(_LUMA, img.dtype))
 
 
 # ------------------------------------------------------------- the transforms
@@ -174,7 +177,8 @@ def _luma(img: jax.Array) -> jax.Array:
 
 
 def _u(key, b, lo, hi):
-    return jax.random.uniform(key, (b, 1, 1, 1), minval=lo, maxval=hi)
+    # bf16 so per-sample parameters don't promote the image math to f32
+    return jax.random.uniform(key, (b, 1, 1, 1), minval=lo, maxval=hi).astype(jnp.bfloat16)
 
 
 def _defocus(key, x):
@@ -215,7 +219,7 @@ def _color_jitter(key, x):
     bright = _u(kb, b, 0.6, 1.4)
     contr = _u(kc, b, 0.6, 1.4)
     sat = _u(ks, b, 0.6, 1.4)
-    hshift = jax.random.uniform(kh, (b, 1, 1), minval=-0.4, maxval=0.4)
+    hshift = jax.random.uniform(kh, (b, 1, 1), minval=-0.4, maxval=0.4).astype(x.dtype)
     x = x * bright
     mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
     x = (x - mean) * contr + mean
@@ -251,7 +255,7 @@ def _emboss(key, x):
 
 def _fancy_pca(key, x, alpha_std=0.35):
     b = x.shape[0]
-    flat = x.reshape(b, -1, 3)
+    flat = x.reshape(b, -1, 3).astype(jnp.float32)  # eigh needs f32
     mean = flat.mean(axis=1, keepdims=True)
     centered = flat - mean
     cov = jnp.einsum("npc,npd->ncd", centered, centered) / flat.shape[1]
@@ -259,7 +263,7 @@ def _fancy_pca(key, x, alpha_std=0.35):
     eigval, eigvec = jnp.linalg.eigh(cov)  # (B,3), (B,3,3)
     alphas = jax.random.normal(key, (b, 3)) * alpha_std
     delta = jnp.einsum("ncd,nd->nc", eigvec, alphas * eigval)
-    return x + delta[:, None, None, :]
+    return x + delta[:, None, None, :].astype(x.dtype)
 
 
 _PERMS3 = np.array(
@@ -271,7 +275,7 @@ _PERM_MATS = np.stack([np.eye(3, dtype=np.float32)[p] for p in _PERMS3])  # (6,3
 def _channel_shuffle(key, x):
     b = x.shape[0]
     idx = jax.random.randint(key, (b,), 0, 6)
-    pmats = jnp.asarray(_PERM_MATS)[idx]  # (B,3,3)
+    pmats = jnp.asarray(_PERM_MATS, x.dtype)[idx]  # (B,3,3)
     return jnp.einsum("nhwc,ncd->nhwd", x, pmats)
 
 
@@ -283,9 +287,9 @@ def _to_gray(key, x):
 def _hsv_shift(key, x):
     b = x.shape[0]
     kh, ks, kv = jax.random.split(key, 3)
-    dh = jax.random.uniform(kh, (b, 1, 1), minval=-60, maxval=60) / 180.0
-    ds = jax.random.uniform(ks, (b, 1, 1), minval=-60, maxval=60) / 255.0
-    dv = jax.random.uniform(kv, (b, 1, 1), minval=-30, maxval=30) / 255.0
+    dh = (jax.random.uniform(kh, (b, 1, 1), minval=-60, maxval=60) / 180.0).astype(x.dtype)
+    ds = (jax.random.uniform(ks, (b, 1, 1), minval=-60, maxval=60) / 255.0).astype(x.dtype)
+    dv = (jax.random.uniform(kv, (b, 1, 1), minval=-30, maxval=30) / 255.0).astype(x.dtype)
     hsv = _rgb_to_hsv(jnp.clip(x, 0, 1))
     hsv = jnp.stack(
         [
@@ -321,16 +325,18 @@ def _clahe(key, x):
     full_idx = jnp.clip(
         (luma.reshape(b, -1) * (_CLAHE_BINS - 1)).astype(jnp.int32), 0, _CLAHE_BINS - 1
     )
-    one_hot_full = (full_idx[..., None] == jnp.arange(_CLAHE_BINS)).astype(jnp.float32)
+    one_hot_full = (full_idx[..., None] == jnp.arange(_CLAHE_BINS)).astype(jnp.bfloat16)
     new_luma = jnp.einsum(
-        "npk,nk->np", one_hot_full, cdf, preferred_element_type=jnp.float32
+        "npk,nk->np", one_hot_full, cdf.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
     ).reshape(b, h, w)
-    scale = new_luma / jnp.maximum(luma, 1e-6)
-    return x * scale[..., None]
+    scale = new_luma / jnp.maximum(luma.astype(jnp.float32), 1e-6)
+    return x * scale[..., None].astype(x.dtype)
 
 
 def _tone_curve(key, x):
     c = jnp.clip(0.5 + 0.25 * jax.random.normal(key, (x.shape[0], 1, 1, 1)), 0.0, 1.0)
+    c = c.astype(x.dtype)
     t = jnp.clip(x, 0, 1)
     return 2 * (1 - t) * t * c + t * t
 
@@ -356,13 +362,19 @@ def _one_of(key, p, fns, x):
 
 @jax.jit
 def augment_batch(key: jax.Array, images: jax.Array, masks: jax.Array):
-    """Augment an NHWC batch (images in [0,1]) + masks jointly. Pure/jittable."""
+    """Augment an NHWC batch (images in [0,1]) + masks jointly. Pure/jittable.
+
+    Internally computes in bfloat16: image precision in [0,1] at bf16 (8-bit
+    mantissa) matches the uint8 sources, and halving HBM traffic across the
+    ~15 full-batch passes is a direct step-time win.  Coordinates, histograms
+    and PCA stay f32.  Returns float32.
+    """
     b, h, w, _ = images.shape
     keys = jax.random.split(key, 14)
     (k_outer, k_blur, k_color, k_rrc_p, k_rrc, k_flip, k_pca, k_shuf, k_gray,
      k_hsv, k_clahe, k_rot, k_tone, k_extra) = keys
 
-    img, mask = images.astype(jnp.float32), masks.astype(jnp.float32)
+    img, mask = images.astype(jnp.bfloat16), masks.astype(jnp.bfloat16)
     outer = _gate(k_outer, 0.7, b)
 
     # --- composed block (albumentations Compose p=0.7)
@@ -413,7 +425,10 @@ def augment_batch(key: jax.Array, images: jax.Array, masks: jax.Array):
 
     kt1, kt2 = jax.random.split(k_tone)
     img = jnp.where(_gate(kt1, 0.5, b), _tone_curve(kt2, img), img)
-    return jnp.clip(img, 0.0, 1.0), mask
+    return (
+        jnp.clip(img, 0.0, 1.0).astype(jnp.float32),
+        mask.astype(jnp.float32),
+    )
 
 
 def augment_sample(key: jax.Array, img: jax.Array, mask: jax.Array):

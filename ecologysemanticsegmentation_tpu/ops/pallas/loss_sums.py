@@ -73,8 +73,12 @@ def _fwd_kernel(p_ref, g_ref, out_ref):
     s1 = jnp.sum(p, axis=1)
     s2 = jnp.sum(p * p, axis=1)
     s3 = jnp.sum(g * p, axis=1)
-    s4 = jnp.sum(jnp.power(one_m_p, GAMMA) * jnp.log(p + EPS), axis=1)
-    s5 = jnp.sum(jnp.power(p, GAMMA) * jnp.log(one_m_p + EPS), axis=1)
+    # x^1.5 as x*sqrt(x): one sqrt instead of exp(1.5*log(x)); sqrt of a
+    # negative is NaN, matching jnp.power's NaN-for-negative-base semantics
+    pow_1mp = one_m_p * jnp.sqrt(one_m_p)
+    pow_p = p * jnp.sqrt(p)
+    s4 = jnp.sum(pow_1mp * jnp.log(p + EPS), axis=1)
+    s5 = jnp.sum(pow_p * jnp.log(one_m_p + EPS), axis=1)
     s6 = jnp.sum(jnp.maximum(p, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(p))), axis=1)
     n = jnp.full_like(s0, p.shape[1])
     out_ref[:, :] += jnp.stack([s0, s1, s2, s3, s4, s5, s6, n])
@@ -93,10 +97,10 @@ def _bwd_kernel(p_ref, g_ref, w_ref, dp_ref, dg_ref):
         wc(1)
         + wc(2) * 2.0 * p
         + wc(3) * g
-        + wc(4) * (jnp.power(one_m_p, GAMMA) / (p + EPS)
-                   - GAMMA * jnp.power(one_m_p, GAMMA - 1.0) * jnp.log(p + EPS))
-        + wc(5) * (GAMMA * jnp.power(p, GAMMA - 1.0) * jnp.log(one_m_p + EPS)
-                   - jnp.power(p, GAMMA) / (one_m_p + EPS))
+        + wc(4) * (one_m_p * jnp.sqrt(one_m_p) / (p + EPS)
+                   - GAMMA * jnp.sqrt(one_m_p) * jnp.log(p + EPS))
+        + wc(5) * (GAMMA * jnp.sqrt(p) * jnp.log(one_m_p + EPS)
+                   - p * jnp.sqrt(p) / (one_m_p + EPS))
         # d/dp [max(p,0) + log1p(e^-|p|)] = 1{p>0} - sign(p)/(1 + e^|p|)
         + wc(6) * ((p > 0).astype(jnp.float32)
                    - jnp.sign(p) / (1.0 + jnp.exp(jnp.abs(p))))
