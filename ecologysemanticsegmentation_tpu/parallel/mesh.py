@@ -83,3 +83,33 @@ def local_batch_to_global(batch_size: int, mesh: Mesh) -> int:
     """Round a requested batch size up to a multiple of the data axis."""
     d = mesh.shape["data"]
     return int(math.ceil(batch_size / d) * d)
+
+
+def create_multislice_mesh(model_parallel: int = 1) -> Mesh:
+    """Multi-slice mesh for DCN-spanning data parallelism (SURVEY.md §2.5:
+    "DCN-spanning multi-slice DP is the natural extension").
+
+    Axes: ``(slice, data, model)`` — the ``slice`` axis crosses DCN, so only
+    gradient all-reduce rides it (once per step); ``data``/``model``
+    collectives stay on ICI.  Uses ``mesh_utils.create_hybrid_device_mesh``
+    when multiple slices are attached; degrades to :func:`create_mesh` with a
+    singleton slice axis on one slice (the testable path here — multi-slice
+    hardware is not available in this environment).
+    """
+    import numpy as np
+    from jax.experimental import mesh_utils
+
+    devices = jax.devices()
+    num_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    n = len(devices)
+    if num_slices > 1:
+        per_slice = n // num_slices
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(per_slice // model_parallel, model_parallel),
+            dcn_mesh_shape=(num_slices, 1),
+            devices=devices,
+        )
+        return Mesh(grid.reshape(num_slices, per_slice // model_parallel, model_parallel),
+                    axis_names=("slice", "data", "model"))
+    grid = np.array(devices).reshape(1, n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names=("slice", "data", "model"))

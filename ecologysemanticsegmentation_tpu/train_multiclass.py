@@ -166,8 +166,11 @@ def train(args=None):
                 state, arrays, step_rng, bg_weight, gates3, lr, no_jitters
             )
             images_seen += arrays["image"].shape[0]
+            # one device->host transfer for all metrics (per-scalar float()
+            # costs a blocking relay round-trip each)
+            host_metrics = jax.device_get(metrics)
             for k in running:
-                running[k] += float(metrics[k])
+                running[k] += float(host_metrics[k])
             count += 1
             if i % log_every == log_every - 1 or len(loader) < log_every:
                 print(
@@ -191,8 +194,8 @@ def train(args=None):
             print(f"epoch {epoch}: {images_seen / dt:.1f} images/sec (bg_w={bg_weight:.3f}, lr={lr:.2e})")
             metrics_log.log(
                 epoch=epoch, step=int(state.step), lr=lr, bg_weight=bg_weight,
-                loss=float(metrics["loss"]), bce=float(metrics["bce"]),
-                focal_dice=float(metrics["focal_dice"]),
+                loss=float(host_metrics["loss"]), bce=float(host_metrics["bce"]),
+                focal_dice=float(host_metrics["focal_dice"]),
                 images_per_sec=images_seen / dt,
             )
 

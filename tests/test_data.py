@@ -165,3 +165,48 @@ def test_get_split_datasets_synthetic():
     assert len(train) > 0 and len(test) > 0
     img, mask, _ = train[0]
     assert mask.shape == (48, 48, 3)
+
+
+def test_coco_loader_edge_cases(tmp_path):
+    """COCO-txt scanner: zero-area records skipped, unknown organs ignored,
+    images without txt dropped, unreadable images dropped (reference
+    fish_coco_annotator.py:44-49,70-76)."""
+    import cv2
+
+    d = tmp_path / "coco"
+    d.mkdir()
+    img = np.full((64, 64, 3), 120, np.uint8)
+    cv2.imwrite(str(d / "a.jpg"), img)
+    (d / "a.txt").write_text(
+        "2\n\n64 64\n\n"
+        "whole_body\n100.0\n10 10 50 10 50 50 10 50\n\n"
+        "unknown_organ\n50.0\n1 1 5 1 5 5\n\n"
+        "ventral_side\n0\n1 1 5 1 5 5\n"  # zero area -> skipped
+    )
+    cv2.imwrite(str(d / "no_txt.jpg"), img)  # no .txt pair
+    (d / "bad.jpg").write_bytes(b"not a jpeg")
+    (d / "bad.txt").write_text("0\n\n64 64\n")
+
+    ds = data.get_alvaradolab_data(
+        "segmentation/composite", "coco", str(tmp_path), 64, 0.0,
+        organs=("whole_body", "ventral_side"),
+    )
+    assert len(ds) == 1
+    _, mask, path = ds[0]
+    assert path.endswith("a.jpg")
+    assert mask[..., 0].max() == 1.0      # whole_body rasterized
+    assert (mask[..., 1] == -1).all()     # ventral record had zero area -> absent -> ignore
+
+
+def test_sample_flag_truncation(fixture_root):
+    root, _ = fixture_root
+    full = data.get_suim_data("segmentation", "suim", root, 64, 0.0)
+    sampled = data.get_suim_data("segmentation", "suim", root, 64, 0.0, sample_dataset=True)
+    assert len(sampled) <= min(len(full), 60)
+
+
+def test_synthetic_decode_cached():
+    ds = data.get_synthetic_data(img_shape=64, organs=("whole_body",), num_samples=2)
+    a = ds[0]
+    b = ds[0]
+    assert a[0] is b[0]  # cached object identity

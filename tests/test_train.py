@@ -240,3 +240,24 @@ def test_orbax_async_checkpoint_roundtrip(tiny_setup, tmp_path):
     empty = OrbaxCheckpointManager(str(tmp_path / "fresh"))
     assert empty.restore(state)[0] == -1
     empty.close()
+
+
+def test_multislice_mesh_singleton_slice(rng):
+    """create_multislice_mesh degrades to (slice=1, data, model) and the
+    train step runs with the batch sharded over the combined slice+data axes."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ecologysemanticsegmentation_tpu.parallel.mesh import create_multislice_mesh
+
+    mesh = create_multislice_mesh(model_parallel=1)
+    assert dict(mesh.shape)["slice"] == 1
+    model = build_model("unet", num_classes=1)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    batch = _batch(rng, b=8, c=1)
+    batch = {k: jax.device_put(v, NamedSharding(mesh, P(("slice", "data")))) for k, v in batch.items()}
+    step = make_train_step(model, tx, augment=False)
+    with mesh:
+        _, metrics = step(state, batch, jax.random.PRNGKey(0), 0.0, jnp.ones(3), 1e-3, jnp.ones(2))
+    assert np.isfinite(float(metrics["loss"]))
