@@ -1,0 +1,105 @@
+"""Serving path: a padded-batch, compile-once Predictor.
+
+The reference's only inference surfaces are the eval scripts and the batch-1
+video loop.  For production serving this module provides the missing piece:
+load a checkpoint once, compile one fixed-shape forward, and serve arbitrary
+request sizes by padding to the compiled batch (no per-request recompiles,
+no dynamic shapes — the XLA serving contract).
+
+Example::
+
+    from ecologysemanticsegmentation_tpu.predict import Predictor
+    p = Predictor.from_checkpoint("models/expt/channels256/img256/expt_epoch90.ckpt",
+                                  num_classes=3)
+    masks = p(images)               # (N,H,W,3) uint8/float in, (N,H,W,3) probs out
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Predictor:
+    """Compile-once batched inference over a trained checkpoint."""
+
+    def __init__(self, model, state, img_size: int = 256, batch_size: int = 16,
+                 union_reverse: bool = False, threshold: float | None = None):
+        import jax
+        import jax.numpy as jnp
+
+        from .losses import return_union_sets_descending_order
+
+        self.img_size = img_size
+        self.batch_size = batch_size
+        self.threshold = threshold
+        self._state = state
+
+        @jax.jit
+        def forward(state, images):
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                images.astype(jnp.bfloat16), train=False,
+            )
+            probs = jax.nn.sigmoid(out.astype(jnp.float32))
+            if union_reverse:
+                probs = return_union_sets_descending_order(probs, reverse=True)
+            return probs
+
+        self._forward = forward
+
+    @classmethod
+    def from_checkpoint(
+        cls, checkpoint_path: str, num_classes: int, model_name: str = "deeplabv3plus",
+        encoder_name: str = "resnet34", img_size: int = 256, batch_size: int = 16,
+        depthwise: bool = False, **kw,
+    ) -> "Predictor":
+        import jax
+
+        from .models import build_model
+        from .train import create_train_state, load_checkpoint_file, make_optimizer
+
+        model = build_model(
+            model_name, num_classes=num_classes, encoder_name=encoder_name,
+            depthwise=depthwise,
+        )
+        template = create_train_state(
+            model, jax.random.PRNGKey(0), (1, img_size, img_size, 3), make_optimizer()
+        )
+        state = load_checkpoint_file(checkpoint_path, template)
+        if state is None:
+            raise ValueError(f"failed to load checkpoint: {checkpoint_path}")
+        return cls(model, state, img_size=img_size, batch_size=batch_size, **kw)
+
+    def _prepare(self, images: np.ndarray) -> np.ndarray:
+        import cv2
+
+        images = np.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        if images.dtype == np.uint8:
+            images = images.astype(np.float32) / 255.0
+        if images.shape[1:3] != (self.img_size, self.img_size):
+            images = np.stack(
+                [cv2.resize(im, (self.img_size, self.img_size)) for im in images]
+            )
+        return images.astype(np.float32)
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        """(N,H,W,3) images (uint8 or [0,1] float; any spatial size) ->
+        (N, img_size, img_size, C) probabilities (or binary with threshold)."""
+        images = self._prepare(images)
+        n = images.shape[0]
+        outs = []
+        for start in range(0, n, self.batch_size):
+            chunk = images[start : start + self.batch_size]
+            pad = self.batch_size - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            probs = np.asarray(self._forward(self._state, chunk))
+            outs.append(probs[: self.batch_size - pad if pad else self.batch_size])
+        result = np.concatenate(outs)[:n]
+        if self.threshold is not None:
+            result = (result > self.threshold).astype(np.float32)
+        return result
