@@ -8,7 +8,6 @@ the import-time scan.
 
 from __future__ import annotations
 
-from functools import lru_cache
 
 from ..config import EnvConfig
 from .augment import augment_batch, augment_sample

@@ -12,7 +12,7 @@ is the finished capability: the standard V2-S stage plan (FusedMBConv stages
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
