@@ -150,9 +150,17 @@ def seven_losses(
 
     Argument-role parity (see module docstring): multi-organ restores
     (gt=labels, pred=preds); single-organ keeps them swapped.
+
+    Background-weight parity (a subtle one): the reference's multi-organ
+    recursion calls ``losses_fn(g[:,i], x[:,i])`` with only two arguments
+    (``train_multiclass.py:260``), so ``background_weight`` reverts to its
+    default 0 inside — the background-weight *schedule is a no-op for
+    multi-organ training* in the reference.  Replicated exactly: bg applies
+    only to single-organ inputs.
     """
     if x.shape[-1] > 1:
         gt, pred = g, x
+        background_weight = 0.0  # dropped by the reference's recursion
     else:
         gt, pred = x, g
     per = _seven_per_channel(gt, pred, background_weight)
@@ -224,8 +232,13 @@ def seven_losses_composite_general(
 
 
 def intersection_loss(superset_p: jax.Array, set_p: jax.Array, set_g: jax.Array) -> jax.Array:
-    """``losses_fn(superset_p * set_p, set_g)`` (reference ``loss_composite.py:84-85``)."""
-    return seven_losses(superset_p * set_p, set_g)
+    """``losses_fn(superset_p * set_p, set_g)`` (reference ``loss_composite.py:84-85``).
+
+    The ×2: ``loss_composite.losses_fn``'s single-channel path ends with
+    ``return_losses += return_losses`` (``loss_composite.py:42``), so every
+    intersection/union term enters the composite sum doubled.
+    """
+    return 2.0 * seven_losses(superset_p * set_p, set_g)
 
 
 def union_loss(superset_p: jax.Array, set_p: jax.Array, superset_g: jax.Array) -> jax.Array:
@@ -234,48 +247,92 @@ def union_loss(superset_p: jax.Array, set_p: jax.Array, superset_g: jax.Array) -
     Note the reference passes ``(superset_g, union_expr)`` — i.e. the *label*
     in the prediction slot — so for single-channel inputs the swap inside
     :func:`seven_losses` puts the union expression back into the gt role.
+    Doubled for the same reason as :func:`intersection_loss`.
     """
     union_expr = superset_p * (1.0 - set_p) + (superset_p * set_p + set_p) * 0.5
-    return seven_losses(superset_g, union_expr)
+    return 2.0 * seven_losses(superset_g, union_expr)
 
 
-def sequential_densenet_composite(
+def sequential_cross_organ_losses(x: jax.Array, g: jax.Array) -> jax.Array:
+    """The sequential trainer's *executed* loss
+    (reference ``train_multiclass_sequential_densenetloss.py:279-290``):
+    per-organ 7-tuples summed, PLUS a cross-organ term added to organ 1 —
+    ``losses_fn(g[:,1]−g[:,2], |x[:,1]−x[:,2]|)`` (line 285; note: no abs on
+    the label difference, abs on the prediction difference).
+
+    The script's ``composite_set_theory`` branch below it (lines 304-362) is
+    unreachable: the multi-organ recursion returns early at line 290 before
+    the branch, and the flag is only True for multi-organ configs.  (It is
+    also name-broken — ``ventral_side_w`` is undefined — and would crash
+    zipping 0-d tensors.)  A working form of that dead branch is kept as
+    :func:`sequential_densenet_composite_deadbranch` for inventory parity.
+    """
+    assert x.shape[-1] >= 3, "sequential cross-organ loss assumes >= 3 organs"
+    base = seven_losses(x, g)
+    cross = seven_losses(
+        g[..., 1:2] - g[..., 2:3], jnp.abs(x[..., 1:2] - x[..., 2:3])
+    )
+    return base + cross
+
+
+def sequential_densenet_composite_deadbranch(
     x: jax.Array,
     g: jax.Array,
     background_weight: jax.Array | float = 0.0,
     early_stop_jitters: np.ndarray | None = None,
 ) -> jax.Array:
-    """The sequential trainer's hardcoded 3-organ composite branch
-    (reference ``train_multiclass.py:296-340`` / the per-script ``losses_fn``
-    ``composite_set_theory`` path with weights 4.789…, 4.480…).
+    """Working form of the sequential script's unreachable composite branch
+    (reference ``train_multiclass_sequential_densenetloss.py:304-362``):
+    ventral-union/ventral-side/Russel/dorsal/densenet-chained intersection
+    ("negative") and regularized-union ("positive") terms with weights
+    2.4376…, 4.4803… (and 4.7897… for the undefined ``ventral_side_w``, per
+    the branch's own comment).  The reference code would crash if reached
+    (zip over 0-d tensors, NameError); here the evident intent — elementwise
+    7-tuple accumulation — is implemented.
 
-    ``early_stop_jitters``: shape ``(2,)`` multiplicative factors for the
-    ventral/dorsal weights, or ``None`` for 1.0.
+    ``early_stop_jitters``: (2,) multiplicative factors for the
+    ventral_union/dorsal weights, or None for 1.0.
     """
     base = seven_losses(x, g, background_weight)
 
     wb_g, wb_p = g[..., 0:1], x[..., 0:1]
-    vs_g, vs_p = g[..., 1:2], x[..., 1:2]
+    vu_g, vu_p = g[..., 1:2], x[..., 1:2]
     ds_g, ds_p = g[..., 2:3], x[..., 2:3]
+    vs_g = jnp.abs(vu_g - ds_g)
+    vs_p = jnp.abs(vu_p - ds_p)
 
     if early_stop_jitters is None:
         jv, jd = 1.0, 1.0
     else:
         jv, jd = early_stop_jitters[0], early_stop_jitters[1]
-    ventral_w = 4.789727146487483 * jv
-    dorsal_w = 4.480348563949717 * jd
+    ventral_union_w = 2.4376792669332903 * jv
+    dorsal_side_w = 4.480348563949717 * jd
+    ventral_side_w = 4.789727146487483  # the branch's NameError, per its comment
 
-    ventral_neg = seven_losses(vs_g, wb_p * vs_p)
-    dorsal_neg = seven_losses(ds_g, wb_p * ds_p)
-    ventral_pos = seven_losses(wb_g, wb_p * (1.0 - vs_p) + (wb_p * vs_p + vs_p) * 0.5)
-    dorsal_pos = seven_losses(wb_g, wb_p * (1.0 - ds_p) + (wb_p * ds_p + ds_p) * 0.5)
+    def union_expr(sup_p, sub_p):
+        return sup_p * (1.0 - sub_p) + (sup_p * sub_p + sub_p) * 0.5
 
-    r1 = base + ventral_w * (ventral_neg + ventral_pos)
-    # Reference quirk: the dorsal term reuses ventral_side_positive_loss
-    # (train_multiclass.py:331-334 zips y over the *negative* list and z over
-    # ventral positive) — kept for parity.
-    r2 = base + dorsal_w * (dorsal_neg + ventral_pos)
+    vu_neg = seven_losses(vu_g, wb_p * vu_p)
+    vs_neg = seven_losses(vs_g, wb_p * vs_p)
+    vr_neg = seven_losses(vs_g, vu_p * vs_p)
+    ds_neg = seven_losses(ds_g, wb_p * ds_p)
+    du_neg = seven_losses(ds_g, vu_p * ds_p)
+
+    vu_pos = seven_losses(wb_g, union_expr(wb_p, vu_p))
+    vs_pos = seven_losses(wb_g, union_expr(wb_p, vs_p))
+    vr_pos = seven_losses(vs_g, union_expr(vu_p, vs_p))
+    ds_pos = seven_losses(wb_g, union_expr(wb_p, ds_p))
+    du_pos = seven_losses(vu_g, union_expr(vu_p, ds_p))
+
+    r1 = (base + ventral_side_w * (vs_neg + ds_neg)
+          + ventral_union_w * (vu_neg + du_neg) + 4.0 * vr_neg)
+    r2 = (base + dorsal_side_w * (2.0 * ds_pos + vs_pos)
+          + vu_pos + 4.0 * ventral_union_w * du_pos + 4.0 * vr_pos)
     return r1 + r2
+
+
+# Backwards-compatible alias (earlier name for the dead-branch form).
+sequential_densenet_composite = sequential_densenet_composite_deadbranch
 
 
 def composite_jitters(

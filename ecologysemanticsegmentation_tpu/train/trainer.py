@@ -34,7 +34,7 @@ from ..losses import (
     return_union_sets_descending_order,
     seven_losses,
     seven_losses_composite_general,
-    sequential_densenet_composite,
+    sequential_cross_organ_losses,
 )
 
 
@@ -111,9 +111,12 @@ def make_train_step(
                 probs, labels, bg_weight, early_stop_weights=jitters
             )
         if composite_mode == "sequential":
-            return sequential_densenet_composite(
-                probs, labels, bg_weight, early_stop_jitters=jitters
-            )
+            # The sequential script's EXECUTED multi-organ semantics: summed
+            # per-organ tuples + the cross-organ |x1-x2| term.  (Its
+            # composite_set_theory branch is unreachable dead code — see
+            # losses.sequential_cross_organ_losses docstring.)
+            del jitters
+            return sequential_cross_organ_losses(probs, labels)
         return seven_losses(probs, labels, bg_weight)
 
     @functools.partial(jax.jit, donate_argnums=(0,))

@@ -50,8 +50,11 @@ def reference_losses_fn(lf, x, g, background_weight=0.0):
 
     CLASS_INDEX = 1
     if g.shape[CLASS_INDEX] > 1:
+        # NOTE call-site fidelity: the reference recursion passes only two
+        # args (train_multiclass.py:260), so background_weight reverts to its
+        # default 0 for every per-organ call.
         per = [
-            reference_losses_fn(lf, g[:, i : i + 1], x[:, i : i + 1], background_weight)
+            reference_losses_fn(lf, g[:, i : i + 1], x[:, i : i + 1])
             for i in range(g.shape[CLASS_INDEX])
         ]
         return [float(sum(vals)) for vals in zip(*per)]
@@ -63,3 +66,23 @@ def reference_losses_fn(lf, x, g, background_weight=0.0):
         x, g, factor=10, background_weight=background_weight
     )
     return [float(v) for v in (ce, bce, fl, d, gd, tw, fd)]
+
+
+def load_reference_composite():
+    """Load reference loss_composite.py with a stubbed parent package whose
+    ``loss_functions`` is the real reference module."""
+    import importlib.util
+
+    lf = load_reference_losses()
+    if lf is None:
+        return None
+    path = os.path.join(REFERENCE_DIR, "loss_composite.py")
+    if not os.path.exists(path):
+        return None
+    pkg_name = "_ref_oracle_pkg"
+    sys.modules[f"{pkg_name}.loss_functions"] = lf
+    spec = importlib.util.spec_from_file_location(f"{pkg_name}.loss_composite", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod

@@ -117,11 +117,31 @@ def test_composite_general_runs(rng):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
-def test_sequential_composite_runs(rng):
+def test_sequential_composite_deadbranch_runs(rng):
     pred, gt = _rand_pair(rng, c=3)
-    out = losses.sequential_densenet_composite(jnp.asarray(pred), jnp.asarray(gt))
+    out = losses.sequential_densenet_composite_deadbranch(jnp.asarray(pred), jnp.asarray(gt))
     assert out.shape == (7,)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@needs_ref
+def test_sequential_cross_organ_matches_reference(rng):
+    """Golden parity for the sequential trainer's EXECUTED multi-organ loss:
+    per-organ tuples + losses_fn(g1-g2, |x1-x2|) added to organ 1
+    (reference train_multiclass_sequential_densenetloss.py:279-290)."""
+    import torch
+
+    pred, gt = _rand_pair(rng, c=3)
+    ours = np.asarray(
+        losses.sequential_cross_organ_losses(jnp.asarray(pred), jnp.asarray(gt))
+    )
+    xt, gtt = torch.from_numpy(_to_nchw(pred)), torch.from_numpy(_to_nchw(gt))
+    base = reference_losses_fn(REF, xt, gtt)
+    cross = reference_losses_fn(
+        REF, gtt[:, 1:2] - gtt[:, 2:3], torch.abs(xt[:, 1:2] - xt[:, 2:3])
+    )
+    ref = np.asarray(base) + np.asarray(cross)
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
 
 
 def test_seven_losses_jittable(rng):
@@ -131,3 +151,29 @@ def test_seven_losses_jittable(rng):
     f = jax.jit(losses.seven_losses)
     out = f(jnp.asarray(pred), jnp.asarray(gt), 0.2)
     assert out.shape == (7,)
+
+
+REF_COMPOSITE = None
+if REF is not None:
+    from reference_oracle import load_reference_composite
+
+    REF_COMPOSITE = load_reference_composite()
+
+
+@pytest.mark.skipif(REF_COMPOSITE is None, reason="reference composite unavailable")
+def test_composite_general_matches_reference(rng):
+    """Golden parity for the general composite set-theory losses_fn
+    (reference loss_composite.py:22-81) with early_stopped=False
+    (deterministic: no np.random jitter)."""
+    import torch
+
+    pred, gt = _rand_pair(rng, c=3)
+    ours = np.asarray(
+        losses.seven_losses_composite_general(jnp.asarray(pred), jnp.asarray(gt), 0.0)
+    )
+    ref = REF_COMPOSITE.losses_fn(
+        torch.from_numpy(_to_nchw(pred)), torch.from_numpy(_to_nchw(gt)),
+        composite_set_theory=True, background_weight=0, early_stopped=False,
+    )
+    ref = np.asarray([float(v) for v in ref])
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
