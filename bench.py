@@ -101,5 +101,41 @@ def main(batch_size: int | None = None, steps: int = 20, warmup: int = 3) -> dic
     return result
 
 
+def infer(batch_size: int = 128, steps: int = 30, warmup: int = 3) -> dict:
+    """Secondary benchmark: pure inference throughput (jitted sigmoid forward,
+    bf16) — the serving-path number.  Run manually: ``python -c "import bench;
+    bench.infer()"`` (the driver's contract is the single line from main())."""
+    import json as _json
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ecologysemanticsegmentation_tpu.models import build_model
+    from ecologysemanticsegmentation_tpu.train import create_train_state, make_forward, make_optimizer
+
+    model = build_model("deeplabv3plus", num_classes=ORGANS, encoder_name="resnet34")
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, IMG, IMG, 3), make_optimizer())
+    forward = make_forward(model)
+    x = jnp.asarray(np.random.RandomState(0).rand(batch_size, IMG, IMG, 3), jnp.float32)
+
+    for _ in range(warmup):
+        out = forward(state, x)
+    float(out[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = forward(state, x)
+    float(out[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+    result = {
+        "metric": "infer_images_per_sec_per_chip",
+        "value": round(batch_size * steps / dt, 2),
+        "unit": "img/s",
+        "extra": {"batch_size": batch_size, "img_size": IMG,
+                  "step_ms": round(1000 * dt / steps, 2)},
+    }
+    print(_json.dumps(result))
+    return result
+
+
 if __name__ == "__main__":
     main()
