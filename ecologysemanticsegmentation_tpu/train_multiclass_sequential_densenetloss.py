@@ -4,10 +4,11 @@
 Variant-trainer parity (reference
 ``train_multiclass_sequential_densenetloss.py``):
 
-* ``composite_flag = len(ORGANS) > 1`` auto-enables the set-theory composite
-  losses (``:45``) — the cross-organ ventral/dorsal negative (intersection) +
-  positive (union) terms with weights 4.789…/4.480… (``:304-362``), provided
-  by :func:`..losses.sequential_densenet_composite`,
+* ``composite_flag = len(ORGANS) > 1`` selects the script's multi-organ loss
+  (``:45``).  What that *executes* is the cross-organ term added to organ 1
+  (``:285``, provided by :func:`..losses.sequential_cross_organ_losses`);
+  its set-theory composite branch (``:304-362``) is unreachable dead code —
+  see the loss docstrings and PARITY.md,
 * ``num_epochs=11000``, lr 1e-3, ``ReduceLROnPlateau(factor=0.75,
   patience=50)`` stepped on val loss (``:81``),
 * checkpoints every 5 epochs (``:156-158``; the reference saves inside the
@@ -110,7 +111,6 @@ def train(args=None):
 
     plateau = ReduceLROnPlateau(args.lr, factor=0.75, patience=50)
     bg_schedule = BackgroundWeightSchedule(args.num_epochs, seed=args.seed)
-    host_rng = np.random.RandomState(args.seed)
 
     loader = Batcher(train_ds, batch_size, shuffle=True, seed=args.seed, pad_final=True)
     val_loader = Batcher(val_ds, 1, shuffle=False) if len(val_ds) else None
@@ -124,19 +124,13 @@ def train(args=None):
             [gates["focal_dice_w"], gates["bce_l_w"], gates["generalized_dice_w"]],
             jnp.float32,
         )
-        early_stopped = epoch > args.early_stop_epoch
-
         t0, images_seen, ep_loss, n_batches = time.time(), 0, 0.0, 0
+        # Early-stop jitters belong only to the reference's unreachable
+        # composite branch; the executed loss takes none (placeholder ones).
+        jitters = jnp.ones((2,), jnp.float32)
         for i, batch in enumerate(
             device_prefetch(iter(loader), sharding=batch_sharding(mesh))
         ):
-            # host-side early-stop jitter (reference :311-312 np.random semantics)
-            if early_stopped:
-                jitters = jnp.asarray(
-                    1.0 - host_rng.randint(0, 2, 2) * host_rng.rand(2), jnp.float32
-                )
-            else:
-                jitters = jnp.ones((2,), jnp.float32)
             step_rng = jax.random.fold_in(rng, epoch * 1_000_003 + i)
             state, metrics = train_step(
                 state,
