@@ -15,6 +15,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_cli(module, args, cwd, env_extra=None, timeout=900):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
+    # Run CLI subprocesses on a SINGLE CPU device: the conftest's 8-virtual-
+    # device XLA flag makes every collective a rendezvous of 8 threads, which
+    # starves (and eventually deadlocks) on this 1-core host under load.
+    # Multi-device paths are covered by tests/test_train.py and the driver's
+    # dryrun_multichip.
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
     env.update(env_extra or {})
     return subprocess.run(
         [sys.executable, "-m", module, "--platform", "cpu", *args],
