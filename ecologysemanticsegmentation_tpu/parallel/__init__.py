@@ -2,6 +2,7 @@
 
 from .mesh import (
     create_mesh,
+    create_multislice_mesh,
     batch_sharding,
     replicated_sharding,
     shard_params_for_model_axis,
@@ -10,6 +11,7 @@ from .mesh import (
 
 __all__ = [
     "create_mesh",
+    "create_multislice_mesh",
     "batch_sharding",
     "replicated_sharding",
     "shard_params_for_model_axis",

@@ -85,7 +85,7 @@ def local_batch_to_global(batch_size: int, mesh: Mesh) -> int:
     return int(math.ceil(batch_size / d) * d)
 
 
-def create_multislice_mesh(model_parallel: int = 1) -> Mesh:
+def create_multislice_mesh(model_parallel: int = 1, devices=None) -> Mesh:
     """Multi-slice mesh for DCN-spanning data parallelism (SURVEY.md §2.5:
     "DCN-spanning multi-slice DP is the natural extension").
 
@@ -99,7 +99,7 @@ def create_multislice_mesh(model_parallel: int = 1) -> Mesh:
     import numpy as np
     from jax.experimental import mesh_utils
 
-    devices = jax.devices()
+    devices = list(devices if devices is not None else jax.devices())
     num_slices = len({getattr(d, "slice_index", 0) for d in devices})
     n = len(devices)
     if num_slices > 1:

@@ -247,7 +247,7 @@ def test_multislice_mesh_singleton_slice(rng):
     train step runs with the batch sharded over the combined slice+data axes."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ecologysemanticsegmentation_tpu.parallel.mesh import create_multislice_mesh
+    from ecologysemanticsegmentation_tpu.parallel import create_multislice_mesh
 
     mesh = create_multislice_mesh(model_parallel=1)
     assert dict(mesh.shape)["slice"] == 1
