@@ -42,6 +42,7 @@ class ASPP(nn.Module):
 
     features: int = 256
     atrous_rates: tuple[int, int, int] = (12, 24, 36)
+    drop_rate: float = 0.5
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -67,7 +68,7 @@ class ASPP(nn.Module):
 
         y = jnp.concatenate(branches, axis=-1)
         y = ConvBNAct(self.features, (1, 1), dtype=self.dtype, name="project")(y, train)
-        y = nn.Dropout(0.5, deterministic=not train)(y)
+        y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
         return y
 
 
@@ -76,6 +77,7 @@ class DeepLabV3Plus(nn.Module):
     encoder_name: str = "resnet34"
     decoder_features: int = 256
     atrous_rates: tuple[int, int, int] = (12, 24, 36)
+    aspp_dropout: float = 0.5  # smp hardcodes 0.5; 0 gives a deterministic step
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -88,7 +90,8 @@ class DeepLabV3Plus(nn.Module):
         high = feats[4]  # /16 (dilated) features
 
         y = ASPP(
-            self.decoder_features, self.atrous_rates, dtype=self.dtype, name="aspp"
+            self.decoder_features, self.atrous_rates, drop_rate=self.aspp_dropout,
+            dtype=self.dtype, name="aspp",
         )(high, train)
         y = SeparableConvBNAct(self.decoder_features, dtype=self.dtype, name="aspp_out")(
             y, train

@@ -80,13 +80,54 @@ def load_recent_model(
 
 def load_checkpoint_file(path: str, template_state: Any) -> Any | None:
     """Load one checkpoint; None on corruption/incompatibility (eval-sweep
-    skip contract, reference ``test_multiclass.py:153-160``)."""
+    skip contract, reference ``test_multiclass.py:153-160``).
+
+    ``.pt``/``.pth`` files are treated as reference PyTorch checkpoints
+    (``torch.save(net.state_dict())`` of an smp DeepLabV3Plus or the
+    depthwise wrapper) and mapped onto the flax trees via
+    :func:`..models.import_torch.smp_checkpoint_to_variables` — so a real
+    reference checkpoint can be scored by the eval sweep directly.
+    """
     try:
+        if path.endswith((".pt", ".pth")):
+            return _load_torch_checkpoint(path, template_state)
         with open(path, "rb") as f:
             return serialization.from_bytes(template_state, f.read())
     except Exception:
         traceback.print_exc()
         return None
+
+
+def _load_torch_checkpoint(path: str, template_state: Any) -> Any | None:
+    import numpy as np
+    import torch
+
+    from ..models.import_torch import smp_checkpoint_to_variables
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    variables = smp_checkpoint_to_variables(sd)
+
+    def shapes(t):
+        return [
+            (jax.tree_util.keystr(k), tuple(np.shape(v)))
+            for k, v in jax.tree_util.tree_flatten_with_path(t)[0]
+        ]
+
+    if shapes(variables["params"]) != shapes(template_state.params) or shapes(
+        variables["batch_stats"]
+    ) != shapes(template_state.batch_stats):
+        raise ValueError(f"torch checkpoint {path} does not match the model tree")
+    leaves = jax.tree_util.tree_leaves(template_state.params)
+    dtype = leaves[0].dtype if leaves else None
+    cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda v: jax.numpy.asarray(v, dtype), t
+    )
+    return template_state.replace(
+        params=cast(variables["params"]),
+        batch_stats=cast(variables["batch_stats"]),
+    )
 
 
 class OrbaxCheckpointManager:

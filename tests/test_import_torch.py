@@ -7,8 +7,14 @@ import jax
 import jax.numpy as jnp
 
 from ecologysemanticsegmentation_tpu.models import VGGUNetEncoder, resnet34
+from ecologysemanticsegmentation_tpu.models.deeplabv3plus import (
+    DeepLabV3Plus,
+    DeepLabV3PlusDepthwise,
+)
 from ecologysemanticsegmentation_tpu.models.import_torch import (
     resnet_encoder_from_torch,
+    smp_checkpoint_to_variables,
+    smp_deeplabv3plus_from_torch,
     strip_smp_deeplab_prefix,
     vgg19_bn_encoder_from_torch,
 )
@@ -120,6 +126,147 @@ def test_vgg19bn_import_matches_flax_tree(rng, max_channels):
     y, skips = enc.apply({"params": params, "batch_stats": stats},
                          jnp.ones((1, 64, 64, 3)) * 0.1, train=False)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def _fake_smp_deeplabv3plus_state_dict(rng, classes=3, prefix=""):
+    """Synthetic smp-0.3.3 DeepLabV3Plus(resnet34) state dict — the key layout
+    of the reference's trained checkpoints (``train_multiclass.py:347-353``)."""
+    sd = {f"{prefix}encoder.{k}": v
+          for k, v in _fake_resnet34_state_dict(rng).items()
+          if not k.startswith("fc.")}
+
+    def conv(name, o, i, k):
+        sd[f"{prefix}{name}.weight"] = (
+            0.02 * rng.normal(size=(o, i, k, k))
+        ).astype(np.float32)
+
+    def bn(name, c):
+        sd[f"{prefix}{name}.weight"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{prefix}{name}.bias"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{prefix}{name}.running_mean"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{prefix}{name}.running_var"] = (
+            np.abs(rng.normal(size=c)).astype(np.float32) + 0.5
+        )
+
+    def sep(name, i, o, bn_name):
+        sd[f"{prefix}{name}.0.weight"] = (
+            0.02 * rng.normal(size=(i, 1, 3, 3))
+        ).astype(np.float32)
+        sd[f"{prefix}{name}.1.weight"] = (
+            0.02 * rng.normal(size=(o, i, 1, 1))
+        ).astype(np.float32)
+        bn(bn_name, o)
+
+    conv("decoder.aspp.0.convs.0.0", 256, 512, 1)
+    bn("decoder.aspp.0.convs.0.1", 256)
+    for i in (1, 2, 3):
+        sep(f"decoder.aspp.0.convs.{i}.0", 512, 256, f"decoder.aspp.0.convs.{i}.1")
+    conv("decoder.aspp.0.convs.4.1", 256, 512, 1)
+    bn("decoder.aspp.0.convs.4.2", 256)
+    conv("decoder.aspp.0.project.0", 256, 256 * 5, 1)
+    bn("decoder.aspp.0.project.1", 256)
+    sep("decoder.aspp.1", 256, 256, "decoder.aspp.2")
+    conv("decoder.block1.0", 48, 64, 1)
+    bn("decoder.block1.1", 48)
+    sep("decoder.block2.0", 48 + 256, 256, "decoder.block2.1")
+    conv("segmentation_head.0", classes, 256, 3)
+    sd[f"{prefix}segmentation_head.0.bias"] = rng.normal(size=classes).astype(np.float32)
+    return sd
+
+
+def test_smp_deeplabv3plus_import_matches_flax_tree(rng):
+    sd = _fake_smp_deeplabv3plus_state_dict(rng, classes=3)
+    params, stats = smp_deeplabv3plus_from_torch(sd)
+
+    model = DeepLabV3Plus(num_classes=3)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+
+    def keys(t):
+        return {jax.tree_util.keystr(k): v.shape for k, v in
+                jax.tree_util.tree_flatten_with_path(t)[0]}
+
+    assert keys(variables["params"]) == keys(params), (
+        set(keys(variables["params"])) ^ set(keys(params)))
+    assert keys(variables["batch_stats"]) == keys(stats)
+
+    # value routing spot-checks: each flax leaf equals the transform of the
+    # RIGHT smp key (atrous rate order, sequential indices, head)
+    np.testing.assert_array_equal(
+        np.asarray(params["aspp"]["atrous1"]["depthwise"]["kernel"]),
+        sd["decoder.aspp.0.convs.2.0.0.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(
+        np.asarray(params["fuse"]["pointwise"]["kernel"]),
+        sd["decoder.block2.0.1.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(
+        np.asarray(params["aspp"]["pool_conv"]["conv"]["kernel"]),
+        sd["decoder.aspp.0.convs.4.1.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(
+        np.asarray(params["head"]["kernel"]),
+        sd["segmentation_head.0.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(
+        np.asarray(stats["aspp_out"]["bn"]["mean"]),
+        sd["decoder.aspp.2.running_mean"])
+
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.ones((1, 64, 64, 3)) * 0.5, train=False)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_smp_depthwise_checkpoint_to_variables(rng):
+    sd = _fake_smp_deeplabv3plus_state_dict(rng, classes=15, prefix="smp_deeplab_model.")
+    sd["last_layers.weight"] = (0.02 * rng.normal(size=(3, 15, 3, 3))).astype(np.float32)
+    sd["last_layers.bias"] = rng.normal(size=3).astype(np.float32)
+
+    variables = smp_checkpoint_to_variables(sd)
+    model = DeepLabV3PlusDepthwise(num_classes=3)
+    expect = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 64, 64, 3)), train=False)
+
+    def keys(t):
+        return {jax.tree_util.keystr(k): v.shape for k, v in
+                jax.tree_util.tree_flatten_with_path(t)[0]}
+
+    assert keys(expect["params"]) == keys(variables["params"]), (
+        set(keys(expect["params"])) ^ set(keys(variables["params"])))
+    assert keys(expect["batch_stats"]) == keys(variables["batch_stats"])
+
+    out = model.apply(variables, jnp.ones((1, 64, 64, 3)) * 0.5, train=False)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_load_checkpoint_file_accepts_reference_pt(rng, tmp_path):
+    """A reference-format torch .pt checkpoint loads straight into the eval
+    sweep via load_checkpoint_file (smp layout -> flax trees)."""
+    import torch
+
+    from ecologysemanticsegmentation_tpu.train import (
+        create_train_state,
+        load_checkpoint_file,
+        make_optimizer,
+    )
+
+    sd = {k: torch.from_numpy(v) for k, v in
+          _fake_smp_deeplabv3plus_state_dict(rng, classes=3).items()}
+    path = str(tmp_path / "synthetic_epoch40.pt")
+    torch.save(sd, path)
+
+    model = DeepLabV3Plus(num_classes=3)
+    template = create_train_state(model, jax.random.PRNGKey(0), (1, 64, 64, 3),
+                                  make_optimizer())
+    state = load_checkpoint_file(path, template)
+    assert state is not None
+    np.testing.assert_allclose(
+        np.asarray(state.params["head"]["bias"]),
+        np.asarray(sd["segmentation_head.0.bias"]), rtol=1e-6)
+
+    # wrong-architecture checkpoint -> None (skip contract)
+    template1 = create_train_state(DeepLabV3Plus(num_classes=1),
+                                   jax.random.PRNGKey(0), (1, 64, 64, 3),
+                                   make_optimizer())
+    assert load_checkpoint_file(path, template1) is None
 
 
 def test_strip_smp_prefix():
