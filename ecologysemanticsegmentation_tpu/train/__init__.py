@@ -5,6 +5,7 @@ from .checkpoint import (
     list_checkpoints,
     load_checkpoint_file,
     load_recent_model,
+    make_checkpointer,
     save_checkpoint,
 )
 from .schedules import (
@@ -30,6 +31,7 @@ __all__ = [
     "make_forward",
     "make_optimizer",
     "save_checkpoint",
+    "make_checkpointer",
     "load_recent_model",
     "load_checkpoint_file",
     "list_checkpoints",

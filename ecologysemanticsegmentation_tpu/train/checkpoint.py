@@ -130,6 +130,54 @@ def _load_torch_checkpoint(path: str, template_state: Any) -> Any | None:
     )
 
 
+def make_checkpointer(backend: str, save_dir: str, expt_name: str):
+    """Uniform trainer-facing checkpointing behind ``--ckpt msgpack|orbax``.
+
+    ``msgpack`` keeps the reference's filename-addressed layout;
+    ``orbax`` is the async, preemption-safe TPU-production path
+    (SURVEY.md §5 checkpoint/resume row).  Both expose
+    ``restore(template, epoch)``, ``save(epoch, state)``, ``finalize()``
+    with identical resume semantics (latest by default, −1 fresh start).
+    """
+    if backend == "msgpack":
+        return _MsgpackCheckpointer(save_dir, expt_name)
+    if backend == "orbax":
+        return _OrbaxBackend(save_dir)
+    raise ValueError(f"unknown checkpoint backend: {backend}")
+
+
+class _MsgpackCheckpointer:
+    def __init__(self, save_dir: str, expt_name: str):
+        self.save_dir, self.expt_name = save_dir, expt_name
+
+    def restore(self, template_state, epoch: int | None = None):
+        return load_recent_model(self.save_dir, template_state, self.expt_name, epoch)
+
+    def save(self, epoch: int, state) -> None:
+        save_checkpoint(self.save_dir, self.expt_name, epoch, state)
+
+    def finalize(self) -> None:
+        pass
+
+
+class _OrbaxBackend:
+    def __init__(self, save_dir: str):
+        self.manager = OrbaxCheckpointManager(save_dir)
+
+    def restore(self, template_state, epoch: int | None = None):
+        epoch_found, state = self.manager.restore(template_state, epoch)
+        if epoch_found >= 0:
+            print(f"Used latest model file: orbax step {epoch_found}")
+        return epoch_found, state
+
+    def save(self, epoch: int, state) -> None:
+        self.manager.save(epoch, state)
+
+    def finalize(self) -> None:
+        self.manager.wait()
+        self.manager.close()
+
+
 class OrbaxCheckpointManager:
     """Async, preemption-safe checkpointing via orbax (SURVEY.md §5
     checkpoint/resume row) — the TPU-production alternative to the msgpack

@@ -55,6 +55,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--deepsupervision", action="store_true",
                     help="Train vgg_unet with side heads + BCE label pyramids "
                          "(completes the reference's empty deepsupervision.py)")
+    ap.add_argument("--ckpt", default="msgpack", choices=["msgpack", "orbax"],
+                    help="Checkpoint backend: msgpack = reference filename "
+                         "layout; orbax = async preemption-safe writes")
     return ap
 
 
@@ -93,11 +96,10 @@ def train(args=None):
         cosine_annealing_warm_restarts,
         create_train_state,
         curriculum_gates,
-        load_recent_model,
+        make_checkpointer,
         make_eval_step,
         make_optimizer,
         make_train_step,
-        save_checkpoint,
     )
 
     cfg = EnvConfig.from_env()
@@ -121,8 +123,9 @@ def train(args=None):
     state = create_train_state(model, rng, (1, cfg.img_size, cfg.img_size, 3), tx)
 
     save_dir = cfg.checkpoint_dir(args.models_dir)
-    start_epoch, state = load_recent_model(
-        save_dir, state, cfg.expt_name, epoch=None if args.start_epoch == 0 else args.start_epoch
+    ckptr = make_checkpointer(args.ckpt, save_dir, cfg.expt_name)
+    start_epoch, state = ckptr.restore(
+        state, epoch=None if args.start_epoch == 0 else args.start_epoch
     )
     state = jax.device_put(state, replicated_sharding(mesh))
 
@@ -200,7 +203,7 @@ def train(args=None):
             )
 
         if epoch % 10 == 0:
-            save_checkpoint(save_dir, cfg.expt_name, epoch, state)
+            ckptr.save(epoch, state)
 
         if val_loader is not None and eval_step is not None:
             train_ds.set_augment_flag(False)
@@ -217,10 +220,19 @@ def train(args=None):
             print("\nVal Loss: %.8f!" % (val_loss / max(n_val, 1)))
 
     # final checkpoint so short runs always leave an artifact
-    save_checkpoint(save_dir, cfg.expt_name, args.num_epochs - 1, state)
+    ckptr.save(args.num_epochs - 1, state)
+    ckptr.finalize()
     print("finished training")
     return state
 
 
 if __name__ == "__main__":
     train()
+    import sys
+
+    if "grpc" in sys.modules:
+        # grpc (pulled in by orbax) can abort CPython interpreter teardown;
+        # everything is flushed/finalized by now — exit hard with success.
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)

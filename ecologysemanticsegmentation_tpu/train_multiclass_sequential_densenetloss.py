@@ -45,6 +45,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", default=0, type=int)
     ap.add_argument("--no_augment", action="store_true")
+    ap.add_argument("--ckpt", default="msgpack", choices=["msgpack", "orbax"],
+                    help="Checkpoint backend: msgpack = reference filename "
+                         "layout; orbax = async preemption-safe writes")
     return ap
 
 
@@ -65,11 +68,10 @@ def train(args=None):
         ReduceLROnPlateau,
         create_train_state,
         curriculum_gates,
-        load_recent_model,
+        make_checkpointer,
         make_eval_step,
         make_optimizer,
         make_train_step,
-        save_checkpoint,
     )
 
     cfg = EnvConfig.from_env()
@@ -96,9 +98,9 @@ def train(args=None):
     state = create_train_state(model, rng, (1, cfg.img_size, cfg.img_size, 3), tx)
 
     save_dir = cfg.checkpoint_dir(args.models_dir)
-    start_epoch, state = load_recent_model(
-        save_dir, state, cfg.expt_name,
-        epoch=None if args.start_epoch == 0 else args.start_epoch,
+    ckptr = make_checkpointer(args.ckpt, save_dir, cfg.expt_name)
+    start_epoch, state = ckptr.restore(
+        state, epoch=None if args.start_epoch == 0 else args.start_epoch
     )
     state = jax.device_put(state, replicated_sharding(mesh))
 
@@ -148,7 +150,7 @@ def train(args=None):
             )
 
         if epoch % 5 == 0:
-            save_checkpoint(save_dir, cfg.expt_name, epoch, state)
+            ckptr.save(epoch, state)
 
         if val_loader is not None:
             train_ds.set_augment_flag(False)
@@ -165,10 +167,20 @@ def train(args=None):
             lr = plateau.step(val_loss)
             print("Val Loss: %.8f!" % val_loss)
 
-    save_checkpoint(save_dir, cfg.expt_name, args.num_epochs - 1, state)
+    ckptr.save(args.num_epochs - 1, state)
+    ckptr.finalize()
     print("finished training")
     return state
 
 
 if __name__ == "__main__":
     train()
+    import os
+    import sys
+
+    if "grpc" in sys.modules:
+        # grpc (pulled in by orbax) can abort CPython interpreter teardown;
+        # everything is flushed/finalized by now — exit hard with success.
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)

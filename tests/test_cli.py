@@ -105,6 +105,58 @@ def test_sequential_train_cli(tmp_path):
     assert "finished training" in r.stdout
 
 
+def test_orbax_kill_and_resume(tmp_path):
+    """Preemption-safe path end-to-end: train with --ckpt orbax, SIGKILL the
+    process mid-training after the first checkpoint lands, then resume and
+    finish from the latest committed orbax step."""
+    import signal
+    import time
+
+    workdir = str(tmp_path)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    env.update(ENV)
+    orbax_dir = os.path.join(workdir, "models", "clitest", "channels256",
+                             "img48", "orbax")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ecologysemanticsegmentation_tpu.train_multiclass",
+         "--platform", "cpu", "--batch_size", "4", "--num_epochs", "500",
+         "--dataset", "synthetic", "--no_augment", "--ckpt", "orbax"],
+        cwd=workdir, env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 600
+        def committed_steps():
+            if not os.path.isdir(orbax_dir):
+                return []
+            return [d for d in os.listdir(orbax_dir)
+                    if d.isdigit() and not os.path.exists(
+                        os.path.join(orbax_dir, d, ".orbax-checkpoint-tmp"))]
+        while time.time() < deadline and not committed_steps():
+            if proc.poll() is not None:
+                raise AssertionError(f"trainer died early rc={proc.returncode}")
+            time.sleep(2)
+        assert committed_steps(), "no orbax checkpoint appeared before timeout"
+        time.sleep(3)  # let the async write settle, then preempt hard
+    finally:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+
+    r = run_cli(
+        "ecologysemanticsegmentation_tpu.train_multiclass",
+        ["--batch_size", "4", "--num_epochs", "12", "--dataset", "synthetic",
+         "--no_augment", "--ckpt", "orbax"],
+        cwd=workdir, env_extra=ENV,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Used latest model file: orbax step" in r.stdout
+    assert "finished training" in r.stdout
+
+
 def test_video_cli(trained_dir, tmp_path):
     import cv2
 
