@@ -108,6 +108,10 @@ class EnvConfig:
     max_channels: int = 256
     organs: tuple[str, ...] = ("whole_body",)
     expt_name: str = "deeplabv3p"
+    # GT-repair consumption: folder (relative to the registry folder_path)
+    # holding rebuild_bbox_dataset output, appended to the ml_training_set
+    # scan (reference bbox_to_segmentation_gt/ wiring).
+    bbox_dir: str | None = None
 
     @staticmethod
     def from_env() -> "EnvConfig":
@@ -118,12 +122,14 @@ class EnvConfig:
         organs = tuple(
             x for x in str(get_env_variable("ORGANS", "whole_body")).split(",") if x
         )
+        bbox_dir = get_env_variable("BBOX_DIR", None)
         return EnvConfig(
             sample=_env_bool("SAMPLE", False),
             img_size=int(img_size),
             max_channels=int(get_env_variable("MAXCHANNELS", 256)),
             organs=organs,
             expt_name=str(get_env_variable("EXPTNAME", "deeplabv3p")),
+            bbox_dir=str(bbox_dir) if bbox_dir else None,
         )
 
     @property

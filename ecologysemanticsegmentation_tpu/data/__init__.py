@@ -57,6 +57,7 @@ def get_split_datasets(
             split=split,
             registry=registry,
             extra_loaders=extra,
+            bbox_dir=getattr(cfg, "bbox_dir", None),
         )
         if split != "train":
             ds.set_augment_flag(False)

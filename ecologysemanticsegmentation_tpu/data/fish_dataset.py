@@ -58,6 +58,7 @@ class FishDataset:
         split: str = "train",
         registry: dict | None = None,
         extra_loaders: dict | None = None,
+        bbox_dir: str | None = None,
     ):
         assert all(t in DATASET_TYPES + ["synthetic"] for t in dataset_type), dataset_type
         assert split in ("train", "val", "test")
@@ -90,7 +91,12 @@ class FishDataset:
                     min_segment_positivity_ratio,
                     organs=self.organs,
                     sample_dataset=sample_dataset,
-                    bbox_dir=None,
+                    # GT-repair consumption: a registry entry's "bbox_dir"
+                    # field (or the BBOX_DIR env via get_split_datasets)
+                    # appends the rebuild_bbox_dataset output folder
+                    # (reference fish_segmentation.py:148-149 consuming
+                    # bbox_to_segmentation_gt/).
+                    bbox_dir=entry.get("bbox_dir", bbox_dir),
                     augment_flag=split == "train",
                 )
             except Exception:

@@ -35,6 +35,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import warnings
 from dataclasses import dataclass
 from typing import Callable
 
@@ -74,12 +75,30 @@ class IndexedDataset:
         self.augment_flag = flag
 
 
+SKIPPED_RAW_FILES: list[str] = []
+
+
 def _imread(path: str) -> np.ndarray | None:
-    """RAW-aware imread (reference ``fish_segmentation.py:17-24`` uses rawpy
-    for ``.arw``; rawpy isn't available here so RAW files are skipped at scan
-    time)."""
+    """RAW-aware imread (reference ``fish_segmentation.py:17-24`` decodes
+    ``.arw`` via rawpy).  When rawpy is importable the RAW path decodes; when
+    it is not, each skipped file is WARNED about and recorded in
+    ``SKIPPED_RAW_FILES`` so a dataset with RAW originals never silently
+    shrinks."""
     if path.lower().endswith(".arw"):
-        return None
+        try:
+            import rawpy  # optional: present only where RAW data lives
+        except ImportError:
+            if path not in SKIPPED_RAW_FILES:
+                SKIPPED_RAW_FILES.append(path)
+                warnings.warn(
+                    f"RAW file skipped (rawpy unavailable): {path} "
+                    f"({len(SKIPPED_RAW_FILES)} RAW file(s) skipped so far)",
+                    stacklevel=2,
+                )
+            return None
+        with rawpy.imread(path) as raw:
+            rgb = raw.postprocess()
+        return cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)
     img = cv2.imread(path)
     return img
 
@@ -193,7 +212,8 @@ def get_ml_training_set_data(
         x for x in sorted(glob.glob(os.path.join(folder_path, path, "*"))) if os.path.isdir(x)
     ]
     if bbox_dir is not None:
-        folders = [os.path.join(folder_path, bbox_dir)] + folders
+        # reference fish_segmentation.py:148-149 APPENDS the repaired folder
+        folders = folders + [os.path.join(folder_path, bbox_dir)]
 
     organs = tuple(organs) if organs is not None else ("whole_body",)
     items: list[tuple[str, dict[str, str]]] = []
@@ -213,7 +233,7 @@ def get_ml_training_set_data(
                     segment_paths.setdefault(organ, ann_path)
             if not segment_paths:
                 continue
-            if cv2.imread(image_path) is None:
+            if _imread(image_path) is None:  # RAW-aware: warns+counts .arw
                 continue
             # Prune entries with zero readable organ masks (reference
             # fish_segmentation.py:40-55).

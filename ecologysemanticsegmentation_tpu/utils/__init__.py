@@ -9,6 +9,7 @@ from .gt_repair import (
     shoelace_algorithm,
     find_bbox_mask_problems,
     realign_cropped_mask,
+    rebuild_bbox_dataset,
 )
 from .color_distribution import SegmentColorDistribution
 from .profiling import MetricsLogger, StepTimer, trace
@@ -30,5 +31,6 @@ __all__ = [
     "get_bounding_box_from_mask",
     "find_bbox_mask_problems",
     "realign_cropped_mask",
+    "rebuild_bbox_dataset",
     "SegmentColorDistribution",
 ]

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 
 import cv2
 import numpy as np
@@ -84,12 +85,22 @@ def realign_cropped_mask(
 
 
 def rebuild_bbox_dataset(
-    full_images_dir: str, crops_dir: str, out_dir: str
+    full_images_dir: str, crops_dir: str, out_dir: str, organ: str = "whole body"
 ) -> list[tuple[str, int, int]]:
     """Re-align every cropped mask in ``crops_dir`` against its full image and
-    write full-size masks to ``out_dir`` (the reference's
-    ``bbox_to_segmentation_gt/`` rebuild)."""
-    os.makedirs(out_dir, exist_ok=True)
+    write a loader-consumable ``bbox_to_segmentation_gt/`` dataset to
+    ``out_dir`` (reference ``manual_bbox_identification.py:57-104`` writes the
+    same ml_training_set folder layout: ``original image/`` + ``<part>/``).
+
+    Masks are written in the ml_training_set convention — white (255)
+    background, dark foreground — so ``get_ml_training_set_data`` can load the
+    result directly via its ``bbox_dir`` argument.  Crop files are paired as
+    ``<stem>_mask.*`` / ``<stem>_crop.*``.
+    """
+    orig_dir = os.path.join(out_dir, "original image")
+    organ_dir = os.path.join(out_dir, organ)
+    os.makedirs(orig_dir, exist_ok=True)
+    os.makedirs(organ_dir, exist_ok=True)
     results = []
     for crop_path in sorted(glob.glob(os.path.join(crops_dir, "*_mask.*"))):
         stem = os.path.basename(crop_path).split("_mask")[0]
@@ -103,10 +114,13 @@ def rebuild_bbox_dataset(
         if full is None or crop_mask is None or crop_img is None:
             continue
         x, y = realign_cropped_mask(full, crop_mask, crop_img)
-        out = np.zeros(full.shape[:2], np.uint8)
+        out = np.full(full.shape[:2], 255, np.uint8)  # white = background
         h, w = crop_mask.shape[:2]
         out[y : y + h, x : x + w] = crop_mask
-        out_path = os.path.join(out_dir, stem + ".png")
+        out_path = os.path.join(organ_dir, stem + ".png")
         cv2.imwrite(out_path, out)
+        shutil.copyfile(
+            img_matches[0], os.path.join(orig_dir, os.path.basename(img_matches[0]))
+        )
         results.append((out_path, x, y))
     return results

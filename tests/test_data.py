@@ -57,6 +57,92 @@ def test_ml_training_set_loader_roundtrip(fixture_root):
     assert mask[..., 0].sum() > 100
 
 
+def test_arw_raw_files_warn_and_count(tmp_path):
+    """RAW (.arw) originals must not silently shrink a dataset: each skipped
+    file warns and is recorded (reference fish_segmentation.py:17-24 decodes
+    them via rawpy; rawpy is absent here)."""
+    import cv2
+
+    from ecologysemanticsegmentation_tpu.data import loaders
+
+    mlts = tmp_path / "mlts" / "batch1"
+    (mlts / "original image").mkdir(parents=True)
+    (mlts / "whole body").mkdir(parents=True)
+    img = np.full((32, 32, 3), 128, np.uint8)
+    cv2.imwrite(str(mlts / "original image" / "a.png"), img)
+    cv2.imwrite(str(mlts / "whole body" / "a.png"), 255 - img)
+    # a RAW original whose mask also exists
+    (mlts / "original image" / "b.arw").write_bytes(b"\x00" * 64)
+    (mlts / "whole body" / "b.arw").write_bytes(b"\x00" * 64)
+
+    before = len(loaders.SKIPPED_RAW_FILES)
+    with pytest.warns(UserWarning, match=r"RAW file skipped"):
+        ds = data.get_ml_training_set_data(
+            "segmentation/composite", "mlts", str(tmp_path), 32, 0.0,
+            organs=("whole_body",),
+        )
+    assert len(loaders.SKIPPED_RAW_FILES) > before
+    assert any(p.endswith("b.arw") for p in loaders.SKIPPED_RAW_FILES)
+    assert len(ds) == 1  # the readable sample still loads
+
+
+def test_bbox_repair_output_is_consumed(fixture_root, tmp_path):
+    """GT-repair pipeline end-to-end: rebuild_bbox_dataset output (the
+    bbox_to_segmentation_gt layout) is loadable through FishDataset's
+    bbox_dir plumbing (reference fish_segmentation.py:148-149)."""
+    import cv2
+
+    from ecologysemanticsegmentation_tpu.utils import rebuild_bbox_dataset
+
+    root, registry = fixture_root
+
+    # Build a crops dir from a synthetic sample: full image + cropped mask.
+    full_dir = tmp_path / "full"
+    crops_dir = tmp_path / "crops"
+    full_dir.mkdir()
+    crops_dir.mkdir()
+    ds = data.get_synthetic_data(img_shape=96, organs=("whole_body",), num_samples=1,
+                                 seed=3)
+    img, mask, _ = ds[0]
+    bgr = cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)
+    cv2.imwrite(str(full_dir / "fishy.png"), bgr)
+    ys, xs = np.where(mask[..., 0] > 0)
+    y0, y1, x0, x1 = ys.min(), ys.max() + 1, xs.min(), xs.max() + 1
+    # ml_training_set convention: white background, dark foreground
+    inv = 255 - (mask[..., 0] * 255).astype(np.uint8)
+    cv2.imwrite(str(crops_dir / "fishy_mask.png"), inv[y0:y1, x0:x1])
+    cv2.imwrite(str(crops_dir / "fishy_crop.png"), bgr[y0:y1, x0:x1])
+
+    out_dir = os.path.join(root, "bbox_to_segmentation_gt")
+    results = rebuild_bbox_dataset(str(full_dir), str(crops_dir), out_dir,
+                                   organ="whole body")
+    assert len(results) == 1
+
+    base = data.FishDataset(
+        ("segmentation/composite",), img_shape=96, organs=("whole_body",),
+        split="train", registry=registry,
+    )
+    with_bbox = data.FishDataset(
+        ("segmentation/composite",), img_shape=96, organs=("whole_body",),
+        split="train", registry=registry, bbox_dir="bbox_to_segmentation_gt",
+    )
+    assert len(with_bbox) == len(base) + 1
+    # the repaired folder is APPENDED to the scan, so the new sample lands at
+    # the end of the source -> in the test split view; decode it from there
+    test_view = data.FishDataset(
+        ("segmentation/composite",), img_shape=96, organs=("whole_body",),
+        split="test", registry=registry, bbox_dir="bbox_to_segmentation_gt",
+    )
+    imgs = [test_view[i] for i in range(len(test_view))]
+    repaired = [x for x in imgs if "fishy" in x[2]]
+    assert len(repaired) == 1
+    _, seg, _ = repaired[0]
+    ref_mask = cv2.resize(mask[..., 0], (96, 96), interpolation=cv2.INTER_NEAREST)
+    inter = np.logical_and(seg[..., 0] > 0, ref_mask > 0).sum()
+    union = np.logical_or(seg[..., 0] > 0, ref_mask > 0).sum()
+    assert inter / max(union, 1) > 0.9  # realignment recovered the offset
+
+
 def test_suim_loader_roundtrip(fixture_root):
     root, _ = fixture_root
     ds = data.get_suim_data("segmentation", "suim", root, 96, 0.0075)
