@@ -105,6 +105,70 @@ def test_color_distribution():
     assert counts["red"] == 50 and counts["blue"] == 50
 
 
+def test_reference_palette_loads_24_colors():
+    from ecologysemanticsegmentation_tpu.utils.color_distribution import (
+        load_reference_palette,
+    )
+
+    palette = load_reference_palette()
+    names = [p["color_name"] for p in palette]
+    assert len(names) == 24
+    assert "brown" in names and "graphite_grey" in names and "black" in names
+    by_name = {p["color_name"]: p for p in palette}
+    # brown: ranges (2,99,95)-(10,151,138) -> one pair, mean hue 6
+    brown = by_name["brown"]["color_range"]
+    assert len(brown) == 1 and np.mean(brown[0], axis=0)[0] == 6.0
+    # graphite_grey: 4 bound rows -> 2 range pairs
+    assert len(by_name["graphite_grey"]["color_range"]) == 2
+    assert names == sorted(names)  # reference sorts by color_name
+
+
+def test_find_color_distribution_matches_reference_algorithm():
+    """Vectorized counting equals the reference's per-pixel loop
+    (color_distribution_dataset.py:69-97) executed literally."""
+    from ecologysemanticsegmentation_tpu.utils.color_distribution import (
+        SegmentColorDistribution,
+    )
+
+    obj = SegmentColorDistribution()
+    rng = np.random.RandomState(0)
+    img_hsv = rng.randint(0, 180, (16, 16, 3)).astype(np.uint8)
+    img_hsv[..., 1:] = rng.randint(0, 256, (16, 16, 2))
+    mask = (rng.rand(16, 16) > 0.4).astype(np.uint8)
+
+    counts, multi = obj.find_color_distribution(img_hsv, mask)
+
+    # literal reference loop
+    ref_counts = {c: 0 for c in obj.colors}
+    for mdx, ndx in zip(*np.nonzero(mask)):
+        distances = []
+        for idx, color in enumerate(obj.colors):
+            cr = obj.color_palette[idx]["color_range"]
+            if cr is None:
+                distances.append(1e5)
+                continue
+            means = [np.mean(x, axis=0) for x in cr]
+            distances.append(min(abs(m[0] - float(img_hsv[mdx, ndx, 0])) for m in means))
+        ref_counts[obj.colors[int(np.argmin(distances))]] += 1
+    assert counts == ref_counts
+    assert sum(counts.values()) == int(mask.sum())
+    assert multi.shape == img_hsv.shape and multi[mask > 0].any()
+
+
+def test_make_palette_image():
+    from ecologysemanticsegmentation_tpu.utils.color_distribution import (
+        make_palette_image,
+    )
+    from ecologysemanticsegmentation_tpu.utils.hsv_picker import hsv_at
+
+    img = make_palette_image(64)
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    # hue sweeps across x: picker reads distinct hues at left/right
+    h_left = hsv_at(img, 2, 40)[0]
+    h_right = hsv_at(img, 61, 40)[0]
+    assert abs(int(h_left) - int(h_right)) > 90
+
+
 def test_grad_cam_shapes():
     import jax
     import jax.numpy as jnp
