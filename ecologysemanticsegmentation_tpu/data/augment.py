@@ -31,9 +31,11 @@ this rewrite exists to close that gap):
 * geometric warps (rotate, resized-crop) use **batch-uniform** parameters so
   the bilinear gather has indices shared across the batch — one
   ``x[:, yi, xi]`` gather moving contiguous (B, C) blocks per index instead
-  of 64 divergent per-sample gathers.  Per-sample application is still gated
-  by a Bernoulli ``where``.  This is a documented deviation: the reference
-  draws geometric parameters per *sample*; here per *batch* (fresh draw every
+  of 64 divergent per-sample gathers — and **batch-uniform gates** via
+  ``lax.cond`` so ungated steps skip the gathers entirely; the OneOf blocks
+  dispatch ONE branch via ``lax.switch`` (computing all four then selecting
+  measured ~3x the winning branch's cost).  Documented deviation: the
+  reference draws these per *sample*; here per *batch* (fresh draws every
   step, so per-image marginals over an epoch match),
 * channel shuffle is a (B,3,3) permutation-matrix einsum (MXU),
 * CLAHE builds its histogram from a 4× subsampled luminance via a one-hot
@@ -366,14 +368,23 @@ def _gate(key, p, b):
 
 
 def _one_of(key, p, fns, x):
+    """albumentations OneOf: apply one of ``fns`` with probability ``p``.
+
+    The branch CHOICE is batch-uniform and dispatched with ``lax.switch`` so
+    only ONE branch executes per step (computing all four then selecting
+    measured ~3x the cost of the winning branch); the Bernoulli ``p`` gate
+    stays per-sample.  Same documented deviation as the geometric params:
+    per-image marginals over an epoch match the reference (every step draws
+    a fresh uniform choice), only the within-batch joint is shared."""
     b = x.shape[0]
     kg, kc, kf = jax.random.split(key, 3)
     gate = _gate(kg, p, b)
-    choice = jax.random.randint(kc, (b, 1, 1, 1), 0, len(fns))
-    keys = jax.random.split(kf, len(fns))
-    out = x
-    for k, (fk, fn) in enumerate(zip(keys, fns)):
-        out = jnp.where(choice == k, fn(fk, x), out)
+    choice = jax.random.randint(kc, (), 0, len(fns))
+    out = jax.lax.switch(
+        choice,
+        [lambda op, fn=fn: fn(kf, op).astype(op.dtype) for fn in fns],
+        x,
+    )
     return jnp.where(gate, out, x)
 
 
@@ -408,9 +419,16 @@ def augment_batch(key: jax.Array, images: jax.Array, masks: jax.Array):
     top = jax.random.uniform(ks3, ()) * (h - ch)
     left = jax.random.uniform(ks4, ()) * (w - cw)
     cys, cxs = _crop_coords(h, w, top, left, ch, cw)
-    crop_gate = _gate(k_rrc_p, 0.3, b)
-    x = jnp.where(crop_gate, _bilinear_warp(x, cys, cxs), x)
-    m = jnp.where(crop_gate, _nearest_warp(mask, cys, cxs), mask)
+    # batch-uniform gate via cond: the box is already batch-uniform, so the
+    # warp either applies to the whole batch or is skipped — ungated steps
+    # (70%) pay nothing for the gathers
+    crop_gate = jax.random.bernoulli(k_rrc_p, 0.3)
+    x, m = jax.lax.cond(
+        crop_gate,
+        lambda xi, mi: (_bilinear_warp(xi, cys, cxs), _nearest_warp(mi, cys, cxs)),
+        lambda xi, mi: (xi, mi),
+        x, mask,
+    )
 
     flip = _gate(k_flip, 0.5, b)
     x = jnp.where(flip, x[:, :, ::-1], x)
@@ -431,14 +449,19 @@ def augment_batch(key: jax.Array, images: jax.Array, masks: jax.Array):
     kc1, kc2 = jax.random.split(k_clahe)
     img = jnp.where(_gate(kc1, 0.7, b), _clahe(kc2, img), img)
 
-    # Arotate: degree U[0,90) with 20% chance of 0 (batch-uniform), p=0.4 gate
+    # Arotate: degree U[0,90) with 20% chance of 0 (batch-uniform), p=0.4
+    # batch-uniform gate (angle is already batch-uniform; ungated steps skip
+    # the warp gathers entirely)
     kd1, kd2, kg = jax.random.split(k_rot, 3)
     degree = jax.random.randint(kd1, (), 0, 90).astype(jnp.float32)
     degree = jnp.where(jax.random.bernoulli(kd2, 0.2), 0.0, degree)
     rys, rxs = _rotate_coords(h, w, degree)
-    rot_gate = _gate(kg, 0.4, b)
-    img = jnp.where(rot_gate, _bilinear_warp(img, rys, rxs), img)
-    mask = jnp.where(rot_gate, _nearest_warp(mask, rys, rxs), mask)
+    img, mask = jax.lax.cond(
+        jax.random.bernoulli(kg, 0.4),
+        lambda xi, mi: (_bilinear_warp(xi, rys, rxs), _nearest_warp(mi, rys, rxs)),
+        lambda xi, mi: (xi, mi),
+        img, mask,
+    )
 
     kt1, kt2 = jax.random.split(k_tone)
     img = jnp.where(_gate(kt1, 0.5, b), _tone_curve(kt2, img), img)
