@@ -46,10 +46,16 @@ def main(batch_size: int | None = None, steps: int = 20, warmup: int = 3) -> dic
         # measured on v5e: batch 128 beats 64 by ~22% (1202 vs 986 img/s)
         batch_size = 128 * n_chips if platform == "tpu" else 8
 
-    model = build_model("deeplabv3plus", num_classes=ORGANS, encoder_name="resnet34")
+    # upsample_head=False + lowres_head: the head's x4 upsample + sigmoid are
+    # folded into the fused Pallas loss kernel (ops/pallas/head_loss.py) —
+    # the 256^2 logit/probability tensors never touch HBM.  Same parameters,
+    # same losses (tests/test_head_loss.py), and the train_multiclass CLI
+    # default for this config.
+    model = build_model("deeplabv3plus", num_classes=ORGANS, encoder_name="resnet34",
+                        upsample_head=False)
     tx = make_optimizer(3e-4)
     state = create_train_state(model, jax.random.PRNGKey(0), (1, IMG, IMG, 3), tx)
-    train_step = make_train_step(model, tx, augment=True)
+    train_step = make_train_step(model, tx, augment=True, lowres_head=True)
 
     rng = np.random.RandomState(0)
     batch = {

@@ -104,7 +104,11 @@ class Batcher:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        n = len(self.dataset)
+        seen = 0
+
         def produce():
+            nonlocal seen
             with ThreadPoolExecutor(self.num_threads) as pool:
                 for idxs in batches:
                     if stop.is_set():
@@ -113,7 +117,13 @@ class Batcher:
                     images = np.stack([s[0] for s in samples]).astype(np.float32)
                     labels = np.stack([s[1] for s in samples]).astype(np.float32)
                     paths = [s[2] for s in samples]
-                    q.put({"image": images, "label": labels, "paths": paths})
+                    # n_real: distinct (non-wrap-padded) samples in this batch
+                    # — metrics count these, so a padded final batch does not
+                    # inflate images/sec or epoch sample counts.
+                    n_real = min(len(idxs), n - seen)
+                    seen += n_real
+                    q.put({"image": images, "label": labels, "paths": paths,
+                           "n_real": n_real})
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)

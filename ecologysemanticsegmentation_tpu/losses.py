@@ -167,6 +167,32 @@ def seven_losses(
     return jnp.sum(per, axis=-1)
 
 
+def seven_losses_lowres(
+    logits_lr: jax.Array, g: jax.Array, background_weight: jax.Array | float = 0.0
+) -> jax.Array:
+    """:func:`seven_losses` with the head's bilinear x4 upsample + sigmoid
+    folded into the reduction kernel (:mod:`.ops.pallas.head_loss`).
+
+    ``logits_lr`` = pre-sigmoid logits at the decoder's 1/4 resolution,
+    ``g`` = full-resolution labels.  Multi-organ only (``C > 1``): the
+    reference's per-channel recursion restores the gt/pred argument roles
+    and drops ``background_weight`` (``train_multiclass.py:260``), so this
+    matches ``seven_losses(sigmoid(upsample(logits)), g)`` exactly — the
+    single-organ swapped-argument case cannot be expressed low-res and is
+    rejected.
+    """
+    del background_weight  # dropped by the reference's multi-organ recursion
+    assert g.shape[-1] > 1, "seven_losses_lowres is multi-organ only"
+    from .ops.pallas.head_loss import fused_head_loss_sums
+
+    # Labels are exactly {-1, 0, 1} (binarize + nearest-warp), so bf16 is a
+    # lossless halving of the kernel's label traffic; the kernel upcasts each
+    # tile to f32 before reducing.
+    sums = fused_head_loss_sums(logits_lr, g.astype(jnp.bfloat16))
+    per = seven_from_sums(sums, 0.0)
+    return jnp.sum(per, axis=-1)
+
+
 def seven_losses_composite_general(
     x: jax.Array,
     g: jax.Array,

@@ -38,17 +38,21 @@ def build_model(
     max_channels: int = 256,
     depthwise: bool = False,
     deepsupervision: bool = False,
+    upsample_head: bool = True,
     dtype=jnp.bfloat16,
 ):
     """Factory over the zoo.  ``depthwise`` mirrors the ``--depthwiseconv``
-    CLI flag (reference sequential trainer)."""
+    CLI flag (reference sequential trainer).  ``upsample_head=False`` makes
+    DeepLabV3+ emit 1/4-resolution logits for the fused head-loss kernel
+    (parameters are unchanged; checkpoints are interchangeable)."""
     if depthwise or name == "deeplabv3plus_depthwise":
         return DeepLabV3PlusDepthwise(
             num_classes=num_classes, encoder_name=encoder_name, dtype=dtype
         )
     if name == "deeplabv3plus":
         return DeepLabV3Plus(
-            num_classes=num_classes, encoder_name=encoder_name, dtype=dtype
+            num_classes=num_classes, encoder_name=encoder_name,
+            upsample_head=upsample_head, dtype=dtype,
         )
     if name == "unet":
         return UNet(num_classes=num_classes, encoder_name=encoder_name, dtype=dtype)

@@ -78,6 +78,12 @@ class DeepLabV3Plus(nn.Module):
     decoder_features: int = 256
     atrous_rates: tuple[int, int, int] = (12, 24, 36)
     aspp_dropout: float = 0.5  # smp hardcodes 0.5; 0 gives a deterministic step
+    # When False, skip the final x4 bilinear upsample and return 1/4-resolution
+    # logits — the training path folds the upsample + sigmoid into the fused
+    # loss kernel (ops/pallas/head_loss.py) so the full-res logit tensor never
+    # hits HBM.  Parameters are identical either way (the resize is
+    # parameter-free): checkpoints are interchangeable.
+    upsample_head: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -108,6 +114,8 @@ class DeepLabV3Plus(nn.Module):
             self.num_classes, (3, 3), padding="SAME",
             dtype=self.dtype, param_dtype=jnp.float32, name="head",
         )(y)
+        if not self.upsample_head:
+            return y.astype(jnp.float32)  # 1/4-res logits for the fused loss
         y = resize_bilinear(y, x.shape[1:3], align_corners=True)
         return y.astype(jnp.float32)  # logits in f32 for stable loss/sigmoid
 

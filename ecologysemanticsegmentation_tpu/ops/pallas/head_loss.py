@@ -1,0 +1,267 @@
+"""Fused head-upsample + sigmoid + loss-sums (Pallas TPU kernel, custom VJP).
+
+The flagship model's head emits logits at 1/4 resolution and bilinearly
+upsamples them x4 to the input size before sigmoid + the 7-loss tuple
+(reference smp DeepLabV3Plus decoder; ``train_multiclass.py:105-148``).
+Left unfused, that materializes per step (batch 128 @ 256px, C=3):
+
+  * the 256^2 upsampled logits (fwd write + bwd read),
+  * the sigmoided probability tensor,
+  * channel-major ``(C, N)`` transposes of BOTH probs and labels for the
+    flat loss-sums kernel (:mod:`.loss_sums`),
+  * full-resolution ``dp``/``dg`` cotangents on the way back,
+
+several hundred MB of pure HBM traffic.  This kernel consumes the
+1/4-resolution logits directly: the x4 bilinear upsample is two small
+matmuls against compile-time interpolation matrices (the same separable
+form as :func:`...ops.resize.resize_bilinear`), executed on the MXU
+*inside* the kernel per batch tile, followed by sigmoid and the seven
+per-channel reductions of :mod:`.loss_sums` — one pass over the labels,
+and the full-resolution probability field never exists in HBM.  The
+backward kernel recomputes the upsample (logits are tiny) and projects
+the elementwise cotangent back through the transposed matrices, emitting
+gradients at 1/4 resolution.
+
+Semantics match ``loss_sums_nhwc(sigmoid(upsample(logits)), labels)``
+except the upsampled logits stay f32 in-register instead of being
+quantized to bf16 between the resize and the sigmoid (strictly more
+precise; measured Dice impact of the bf16 path is < 0.005, RESULTS.md).
+
+Layout notes: NHWC tensors enter with H as sublanes and W*C flattened on
+lanes; the W-dimension interpolation matrix is expanded to a
+channel-block-diagonal ``(w*C, W*C)`` operand so both matmuls act on the
+native layout with no in-kernel transposes.  Per-channel sums come out
+of a final ``(8, W*C) @ (W*C, C)`` contraction performed outside the
+kernel (tiny).
+
+Falls back to a pure-jnp reference off-TPU (identical math, used by CPU
+tests and via ``interpret=True``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..resize import _interp_matrix
+from .loss_sums import EPS, GAMMA, NUM_SUMS, _sums_reference
+
+
+def _upsample_mats(h: int, w: int, H: int, W: int, c: int, align_corners: bool):
+    """Constant operands: (H, h) row matrix and (w*c, W*c) channel-block
+    column matrix such that ``U[n] = Mh @ X[n] @ Mwc`` upsamples an NHWC
+    item flattened to (h, w*c) -> (H, W*c)."""
+    mh = _interp_matrix(H, h, align_corners)  # (H, h)
+    mw = _interp_matrix(W, w, align_corners)  # (W, w)
+    mwc = np.zeros((w * c, W * c), np.float32)
+    for ch in range(c):
+        mwc[ch::c, ch::c] = mw.T
+    return mh, mwc
+
+
+def _elementwise_sums(p: jax.Array, g: jax.Array) -> jax.Array:
+    """The seven reduction integrands over one (H, W*C) tile; returns
+    (8, W*C) with row 7 zero (the count is analytic, added by the caller)."""
+    one_m_p = 1.0 - p
+    pow_1mp = one_m_p * jnp.sqrt(one_m_p)
+    pow_p = p * jnp.sqrt(p)
+    rows = [
+        jnp.sum(g, axis=0),
+        jnp.sum(p, axis=0),
+        jnp.sum(p * p, axis=0),
+        jnp.sum(g * p, axis=0),
+        jnp.sum(pow_1mp * jnp.log(p + EPS), axis=0),
+        jnp.sum(pow_p * jnp.log(one_m_p + EPS), axis=0),
+        jnp.sum(jnp.maximum(p, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(p))), axis=0),
+        jnp.zeros((p.shape[1],), jnp.float32),
+    ]
+    return jnp.stack(rows)
+
+
+def _fwd_kernel(x_ref, g_ref, mh_ref, mwc_ref, out_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    mh = mh_ref[:, :]
+    mwc = mwc_ref[:, :]
+    bb = x_ref.shape[0]
+    acc = jnp.zeros_like(out_ref)
+    for b in range(bb):  # static unroll over the batch tile
+        x = x_ref[b].astype(jnp.float32)           # (h, w*C)
+        u = jnp.dot(mh, x, preferred_element_type=jnp.float32)    # (H, w*C)
+        u = jnp.dot(u, mwc, preferred_element_type=jnp.float32)   # (H, W*C)
+        p = jax.nn.sigmoid(u)
+        g = g_ref[b].astype(jnp.float32)
+        acc = acc + _elementwise_sums(p, g)
+    out_ref[:, :] += acc
+
+
+def _bwd_kernel(x_ref, g_ref, w_ref, mh_ref, mwc_ref, mhT_ref, mwcT_ref, dx_ref):
+    mh = mh_ref[:, :]
+    mwc = mwc_ref[:, :]
+    mhT = mhT_ref[:, :]
+    mwcT = mwcT_ref[:, :]
+    w = w_ref[:, :]  # (8, W*C) lane-broadcast cotangent weights
+
+    bb = x_ref.shape[0]
+    for b in range(bb):
+        x = x_ref[b].astype(jnp.float32)
+        u = jnp.dot(mh, x, preferred_element_type=jnp.float32)
+        u = jnp.dot(u, mwc, preferred_element_type=jnp.float32)
+        p = jax.nn.sigmoid(u)
+        g = g_ref[b].astype(jnp.float32)
+        one_m_p = 1.0 - p
+        # d(sums)/dp with the (8, C) cotangent applied (cf. loss_sums._bwd_kernel)
+        dp = (
+            w[1]
+            + w[2] * 2.0 * p
+            + w[3] * g
+            + w[4] * (one_m_p * jnp.sqrt(one_m_p) / (p + EPS)
+                      - GAMMA * jnp.sqrt(one_m_p) * jnp.log(p + EPS))
+            + w[5] * (GAMMA * jnp.sqrt(p) * jnp.log(one_m_p + EPS)
+                      - p * jnp.sqrt(p) / (one_m_p + EPS))
+            + w[6] * ((p > 0).astype(jnp.float32)
+                      - jnp.sign(p) / (1.0 + jnp.exp(jnp.abs(p))))
+        )
+        du = dp * p * one_m_p  # sigmoid'
+        dx = jnp.dot(mhT, du, preferred_element_type=jnp.float32)   # (h, W*C)
+        dx = jnp.dot(dx, mwcT, preferred_element_type=jnp.float32)  # (h, w*C)
+        dx_ref[b] = dx.astype(dx_ref.dtype)
+
+
+def head_sums_reference(logits_lr: jax.Array, labels: jax.Array,
+                        align_corners: bool = True) -> jax.Array:
+    """Pure-jnp reference: f32 upsample + sigmoid + the (8, C) sums."""
+    from ..resize import resize_bilinear
+
+    up = resize_bilinear(logits_lr.astype(jnp.float32), labels.shape[1:3],
+                         align_corners=align_corners)
+    p = jax.nn.sigmoid(up)
+    c = p.shape[-1]
+    return _sums_reference(p.reshape(-1, c).T, labels.reshape(-1, c).T)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_fused(shape_lr, shape_hr, align_corners: bool, interpret: bool):
+    """Build the custom-VJP fused op for static shapes.
+
+    ``shape_lr`` = (B, h, w, C) logits, ``shape_hr`` = (B, H, W, C) labels.
+    Returns ``fused(logits, labels) -> (8, C) f32 sums``.
+    """
+    B, h, w, C = shape_lr
+    _, H, W, _ = shape_hr
+    mh, mwc = _upsample_mats(h, w, H, W, C, align_corners)
+    mhT = np.ascontiguousarray(mh.T)
+    mwcT = np.ascontiguousarray(mwc.T)
+
+    # Batch tile: largest power of two <= 8 dividing B, bounded by VMEM
+    # (labels tile bb*H*W*C*4B must stay well under the ~16 MB budget).
+    bb = 1
+    for cand in (8, 4, 2):
+        if B % cand == 0 and cand * H * W * C * 4 <= 4 * 2**20:
+            bb = cand
+            break
+    grid = B // bb
+
+    def _full(a):  # operand broadcast to every grid step
+        return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    def _fwd(logits, labels):
+        x = logits.reshape(B, h, w * C)
+        g = labels.reshape(B, H, W * C)
+        out = pl.pallas_call(
+            _fwd_kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((bb, h, w * C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, H, W * C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                _full(mh),
+                _full(mwc),
+            ],
+            out_specs=pl.BlockSpec((NUM_SUMS, W * C), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((NUM_SUMS, W * C), jnp.float32),
+            interpret=interpret,
+        )(x, g, jnp.asarray(mh), jnp.asarray(mwc))
+        # (8, W*C) -> per-channel (8, C); the count row is analytic.
+        sums = out.reshape(NUM_SUMS, W, C).sum(axis=1)
+        return sums.at[7].set(float(B * H * W))
+
+    def _bwd(logits, labels, cot):
+        x = logits.reshape(B, h, w * C)
+        g = labels.reshape(B, H, W * C)
+        wline = jnp.tile(cot.astype(jnp.float32), (1, W))  # (8, W*C)
+        dx = pl.pallas_call(
+            _bwd_kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((bb, h, w * C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, H, W * C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                _full(wline),
+                _full(mh),
+                _full(mwc),
+                _full(mhT),
+                _full(mwcT),
+            ],
+            out_specs=pl.BlockSpec((bb, h, w * C), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, h, w * C), logits.dtype),
+            interpret=interpret,
+        )(x, g, wline, jnp.asarray(mh), jnp.asarray(mwc),
+          jnp.asarray(mhT), jnp.asarray(mwcT))
+        return dx.reshape(B, h, w, C)
+
+    @jax.custom_vjp
+    def fused(logits, labels):
+        return _fwd(logits, labels)
+
+    def fused_fwd(logits, labels):
+        return _fwd(logits, labels), (logits, labels)
+
+    def fused_bwd(res, cot):
+        logits, labels = res
+        dlogits = _bwd(logits, labels, cot)
+        # Labels carry no parameters upstream; a zeros cotangent is DCE'd
+        # under jit (the train step never uses d(loss)/d(labels)).
+        return dlogits, jnp.zeros_like(labels)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def fused_head_loss_sums(
+    logits_lr: jax.Array,
+    labels: jax.Array,
+    align_corners: bool = True,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, h, w, C) low-res logits + (B, H, W, C) labels -> (8, C) sums of
+    ``sigmoid(bilinear_upsample(logits))`` against ``labels``.
+
+    Differentiable in ``logits_lr`` (custom VJP; recompute-in-backward).
+    ``use_pallas=None`` auto-selects the kernel on TPU and the jnp
+    reference elsewhere.
+    """
+    assert logits_lr.ndim == 4 and labels.ndim == 4
+    assert logits_lr.shape[0] == labels.shape[0]
+    assert logits_lr.shape[-1] == labels.shape[-1]
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if not use_pallas:
+        return head_sums_reference(logits_lr, labels, align_corners)
+    fused = _make_fused(tuple(logits_lr.shape), tuple(labels.shape),
+                        bool(align_corners), bool(interpret))
+    return fused(logits_lr, labels)

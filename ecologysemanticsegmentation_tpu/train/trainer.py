@@ -84,6 +84,7 @@ def make_train_step(
     augment: bool = True,
     loss_formula: str = "multiclass",
     deepsupervision: bool = False,
+    lowres_head: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -102,8 +103,20 @@ def make_train_step(
 
     The input ``state`` is DONATED (its device buffers are reused for the
     output state) — never reuse a state object after passing it to the step.
+
+    ``lowres_head``: the model was built with ``upsample_head=False`` (it
+    emits 1/4-resolution logits) and the x4 bilinear upsample + sigmoid are
+    folded into the fused loss-sums kernel (:mod:`..ops.pallas.head_loss`)
+    so the full-resolution logit/probability tensors never touch HBM.
+    Valid only for the plain multi-organ losses_fn (``composite_mode=
+    "none"``, no deep supervision): the composite variants consume
+    full-resolution probability *slices* directly.
     """
     assert composite_mode in ("none", "general", "sequential")
+    if lowres_head:
+        assert composite_mode == "none" and not deepsupervision, (
+            "lowres_head folds the upsample into the plain seven_losses path"
+        )
 
     def seven_fn(probs, labels, bg_weight, jitters):
         if composite_mode == "general":
@@ -136,6 +149,16 @@ def make_train_step(
                 mutable=["batch_stats"],
                 rngs={"dropout": jax.random.fold_in(rng, 1)},
             )
+            if lowres_head:
+                from ..losses import seven_losses_lowres
+
+                seven = seven_losses_lowres(out, labels)
+                loss = (
+                    gates3[0] * seven[6]
+                    + gates3[1] * seven[1]
+                    + gates3[2] * (seven[4] + seven[5])
+                )
+                return loss, (seven, mutated["batch_stats"])
             ds_heads = ()
             if deepsupervision:
                 # Model returns (logits, [side heads shallowest-first]) — the

@@ -58,6 +58,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ckpt", default="msgpack", choices=["msgpack", "orbax"],
                     help="Checkpoint backend: msgpack = reference filename "
                          "layout; orbax = async preemption-safe writes")
+    ap.add_argument("--no_fused_head_loss", action="store_true",
+                    help="Disable folding the head's x4 upsample + sigmoid "
+                         "into the fused loss kernel (on by default for "
+                         "multi-organ deeplabv3plus; parameters and "
+                         "checkpoints are identical either way)")
     return ap
 
 
@@ -114,7 +119,21 @@ def train(args=None):
     assert len(train_ds) > 0, "empty training dataset — check data dir or use --dataset synthetic"
 
     model_name = "vgg_unet" if args.deepsupervision else args.model
+    # Fused head-loss: train on 1/4-res logits (upsample+sigmoid folded into
+    # the Pallas loss kernel).  Parameters are identical to the full-res
+    # model, so eval/checkpoints use the ordinary upsampling view.
+    lowres = (
+        model_name == "deeplabv3plus"
+        and cfg.num_classes > 1
+        and not args.deepsupervision
+        and not getattr(args, "no_fused_head_loss", False)
+    )
     model = build_model(
+        model_name, num_classes=cfg.num_classes, encoder_name=args.encoder,
+        max_channels=cfg.max_channels, deepsupervision=args.deepsupervision,
+        upsample_head=not lowres,
+    )
+    eval_model = model if not lowres else build_model(
         model_name, num_classes=cfg.num_classes, encoder_name=args.encoder,
         max_channels=cfg.max_channels, deepsupervision=args.deepsupervision,
     )
@@ -130,9 +149,10 @@ def train(args=None):
     state = jax.device_put(state, replicated_sharding(mesh))
 
     train_step = make_train_step(
-        model, tx, augment=not args.no_augment, deepsupervision=args.deepsupervision
+        model, tx, augment=not args.no_augment,
+        deepsupervision=args.deepsupervision, lowres_head=lowres,
     )
-    eval_step = make_eval_step(model) if not args.deepsupervision else None
+    eval_step = make_eval_step(eval_model) if not args.deepsupervision else None
 
     lr_at = cosine_annealing_warm_restarts(args.lr, t_0=100)
     bg_schedule = BackgroundWeightSchedule(args.num_epochs, seed=args.seed)
@@ -168,7 +188,9 @@ def train(args=None):
             state, metrics = train_step(
                 state, arrays, step_rng, bg_weight, gates3, lr, no_jitters
             )
-            images_seen += arrays["image"].shape[0]
+            # n_real excludes wrap-around padding in the final batch, so
+            # images/sec and epoch sample counts reflect distinct samples.
+            images_seen += batch.get("n_real", arrays["image"].shape[0])
             # one device->host transfer for all metrics (per-scalar float()
             # costs a blocking relay round-trip each)
             host_metrics = jax.device_get(metrics)

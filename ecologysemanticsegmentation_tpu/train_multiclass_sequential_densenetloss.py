@@ -141,7 +141,8 @@ def train(args=None):
             )
             ep_loss += float(metrics["loss"])
             n_batches += 1
-            images_seen += batch["image"].shape[0]
+            # n_real excludes wrap-around padding in the final batch.
+            images_seen += batch.get("n_real", batch["image"].shape[0])
         dt = time.time() - t0
         if n_batches:
             print(

@@ -213,6 +213,16 @@ def test_batcher_drops_single_sample_batch():
     assert batches[0]["label"].shape == (2, 64, 64, 1)
 
 
+def test_batcher_pad_final_reports_n_real():
+    # 5 samples, batch 4, pad_final: batches are [4, 4(padded)] but n_real
+    # must count distinct samples only (4 + 1) so metrics don't inflate.
+    ds = data.get_synthetic_data(img_shape=32, organs=("whole_body",), num_samples=5)
+    batches = list(data.Batcher(ds, 4, shuffle=False, pad_final=True))
+    assert [b["image"].shape[0] for b in batches] == [4, 4]
+    assert [b["n_real"] for b in batches] == [4, 1]
+    assert sum(b["n_real"] for b in batches) == 5
+
+
 def test_batcher_shuffle_deterministic():
     ds = data.get_synthetic_data(img_shape=32, organs=("whole_body",), num_samples=8)
     a = [b["paths"] for b in data.Batcher(ds, 4, shuffle=True, seed=3)]
