@@ -82,6 +82,69 @@ class ConvBNAct(nn.Module):
         return x
 
 
+def _shift2d(x: jax.Array, oi: int, oj: int) -> jax.Array:
+    """``out[b, y, x_] = in[b, y+oi, x_+oj]`` with zero fill (static offsets)."""
+    _, h, w, _ = x.shape
+    sl = x[:, max(oi, 0): h + min(oi, 0), max(oj, 0): w + min(oj, 0), :]
+    return jnp.pad(sl, ((0, 0), (max(-oi, 0), max(oi, 0)),
+                        (max(-oj, 0), max(oj, 0)), (0, 0)))
+
+
+class DepthwiseConv(nn.Module):
+    """Depthwise KxK conv with a dilation-aware TPU lowering.
+
+    For ``dilation == 1`` XLA's grouped-conv path is fastest (measured).  For
+    the ASPP's large dilations a grouped ``lax.conv`` zero-pads the input to
+    many times the feature map's area (rate 36 on a 16x16 map pads to 88x88,
+    ~800 MB at batch 128) and runs off-MXU over it — measured at ~9% MFU for
+    the ASPP/decoder (RESULTS.md stage budget).  Those branches instead use a
+    static shift-and-add: K*K fused VPU multiply-adds over shifted views,
+    where taps whose offset exceeds the map are dropped at *trace* time (for
+    a 16x16 map, rates 24/36 reduce exactly to the center tap — the same
+    zero-padded math as the reference's torch conv).
+
+    Parameter name/shape (``kernel``: (K, K, 1, C)) and initializer match
+    ``nn.Conv(feature_group_count=C)`` so init streams, checkpoints, and the
+    torch state-dict importer are unchanged.
+    """
+
+    kernel_size: tuple[int, int] = (3, 3)
+    dilation: tuple[int, int] = (1, 1)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (kh, kw, 1, c), jnp.float32
+        )
+        _, h, w, _ = x.shape
+        dh, dw = self.dilation
+        xb = x.astype(self.dtype)
+        if max(dh, dw) == 1:
+            pad = [((k - 1) // 2,) * 2 for k in (kh, kw)]
+            return jax.lax.conv_general_dilated(
+                xb, kernel.astype(self.dtype), window_strides=(1, 1),
+                padding=pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c,
+            )
+        out = None
+        for i in range(kh):
+            oi = (i - kh // 2) * dh
+            if abs(oi) >= h:
+                continue  # tap entirely out of bounds -> zero contribution
+            for j in range(kw):
+                oj = (j - kw // 2) * dw
+                if abs(oj) >= w:
+                    continue
+                term = _shift2d(xb, oi, oj) * kernel[i, j, 0].astype(self.dtype)
+                out = term if out is None else out + term
+        if out is None:  # degenerate: every tap out of bounds
+            out = jnp.zeros_like(xb)
+        return out
+
+
 class SeparableConvBNAct(nn.Module):
     """Depthwise 3x3 + pointwise 1x1 separable conv with BN/act — the ASPP and
     DeepLabV3+ decoder conv type (smp ``SeparableConv2d`` equivalent)."""
@@ -94,18 +157,8 @@ class SeparableConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        in_ch = x.shape[-1]
-        pad = [((k - 1) * d // 2,) * 2 for k, d in zip(self.kernel_size, self.dilation)]
-        x = nn.Conv(
-            in_ch,
-            self.kernel_size,
-            kernel_dilation=self.dilation,
-            feature_group_count=in_ch,
-            padding=pad,
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="depthwise",
+        x = DepthwiseConv(
+            self.kernel_size, self.dilation, dtype=self.dtype, name="depthwise"
         )(x)
         x = nn.Conv(
             self.features,
