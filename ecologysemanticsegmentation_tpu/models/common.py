@@ -113,12 +113,23 @@ class DepthwiseConv(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        c = x.shape[-1]
+    def __call__(self, x) -> jax.Array:
+        parts = x if isinstance(x, (tuple, list)) else (x,)
+        c = sum(p.shape[-1] for p in parts)
         kh, kw = self.kernel_size
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (kh, kw, 1, c), jnp.float32
         )
+        outs, off = [], 0
+        for p in parts:
+            pc = p.shape[-1]
+            outs.append(self._one(p, kernel[..., off:off + pc]))
+            off += pc
+        return outs[0] if len(outs) == 1 else tuple(outs)
+
+    def _one(self, x: jax.Array, kernel: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        kh, kw = self.kernel_size
         _, h, w, _ = x.shape
         dh, dw = self.dilation
         xb = x.astype(self.dtype)
@@ -145,9 +156,48 @@ class DepthwiseConv(nn.Module):
         return out
 
 
+class _PointwiseConv(nn.Module):
+    """1x1 conv that accepts a *virtual concat*: a tuple of NHWC parts is
+    contracted against the matching row-slices of one (1, 1, sum(C), F)
+    kernel and summed — algebraically identical to ``conv1x1(concat(parts))``
+    with the same parameter (so checkpoints/importers are unchanged), but the
+    channel-concatenated tensor never materializes.  On TPU a concat at a
+    non-128-multiple channel offset (e.g. 48+256 in the DeepLabV3+ decoder)
+    is a lane-unaligned relayout of the whole activation — measured as the
+    dominant cost of the decoder (RESULTS.md decoder budget)."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x) -> jax.Array:
+        parts = x if isinstance(x, (tuple, list)) else (x,)
+        cin = sum(p.shape[-1] for p in parts)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, cin, self.features), jnp.float32,
+        )
+        out, off = None, 0
+        for p in parts:
+            pc = p.shape[-1]
+            w = kernel[0, 0, off:off + pc].astype(self.dtype)  # (pc, F)
+            term = jax.lax.dot_general(
+                p.astype(self.dtype), w,
+                dimension_numbers=(((3,), (0,)), ((), ())),
+            )
+            out = term if out is None else out + term
+            off += pc
+        return out
+
+
 class SeparableConvBNAct(nn.Module):
     """Depthwise 3x3 + pointwise 1x1 separable conv with BN/act — the ASPP and
-    DeepLabV3+ decoder conv type (smp ``SeparableConv2d`` equivalent)."""
+    DeepLabV3+ decoder conv type (smp ``SeparableConv2d`` equivalent).
+
+    Accepts a tuple of NHWC tensors as a virtual channel-concat (see
+    :class:`_PointwiseConv`): depthwise runs per part on its kernel slice,
+    the pointwise contraction sums per-part matmuls — same math and params
+    as concatenating first, minus the unaligned concat relayout."""
 
     features: int
     kernel_size: tuple[int, int] = (3, 3)
@@ -156,18 +206,11 @@ class SeparableConvBNAct(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x, train: bool = False) -> jax.Array:
         x = DepthwiseConv(
             self.kernel_size, self.dilation, dtype=self.dtype, name="depthwise"
         )(x)
-        x = nn.Conv(
-            self.features,
-            (1, 1),
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="pointwise",
-        )(x)
+        x = _PointwiseConv(self.features, dtype=self.dtype, name="pointwise")(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,

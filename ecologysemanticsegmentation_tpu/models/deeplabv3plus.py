@@ -105,9 +105,11 @@ class DeepLabV3Plus(nn.Module):
         y = resize_bilinear(y, low.shape[1:3], align_corners=True)
 
         low = ConvBNAct(48, (1, 1), dtype=self.dtype, name="low_project")(low, train)
-        y = jnp.concatenate([low, y], axis=-1)
+        # Virtual concat: same math/params as concatenating [low(48), y(256)],
+        # but the lane-unaligned 304-channel tensor never materializes (the
+        # measured dominant decoder cost — see SeparableConvBNAct docstring).
         y = SeparableConvBNAct(self.decoder_features, dtype=self.dtype, name="fuse")(
-            y, train
+            (low, y), train
         )
 
         y = nn.Conv(
