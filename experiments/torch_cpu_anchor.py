@@ -43,6 +43,7 @@ from ecologysemanticsegmentation_tpu.train import (
     make_train_step,
 )
 from reference_oracle import load_reference_losses
+from experiments.dice_parity import torch_losses_fn
 from experiments.torch_mirror import TorchDeepLabV3Plus
 
 IMG = int(os.environ.get("ANCHOR_IMG", 128))
@@ -64,10 +65,8 @@ def torch_step_time():
         opt.zero_grad()
         out = torch.sigmoid(net(x))
         # reference train_multiclass.py:260-262 per-organ recursion + :145 gate
-        total = 0.0
-        for i in range(ORGANS):
-            seven = lf.losses_fn(y[:, i:i + 1], out[:, i:i + 1])
-            total = total + seven[6] + seven[1] + seven[4] + seven[5]
+        seven = torch_losses_fn(lf, out, y)
+        total = seven[6] + seven[1] + seven[4] + seven[5]
         total.backward()
         opt.step()
         return float(total.detach())
