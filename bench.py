@@ -103,6 +103,19 @@ def main(batch_size: int | None = None, steps: int = 20, warmup: int = 3) -> dic
             "assumed_h100_torch_img_per_sec": H100_TORCH_ESTIMATE,
         },
     }
+    # Measured relative framework anchor (experiments/torch_cpu_anchor.py):
+    # same arch/losses/optimizer at f32 on this host's one CPU core, JAX vs
+    # the torch reference.  Shows the assumed-baseline ratio is not inflated
+    # by a slow-torch comparison.
+    try:
+        import os
+        anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "experiments", "torch_cpu_anchor.json")
+        with open(anchor_path) as fh:
+            anchor = json.load(fh)
+        result["extra"]["measured_cpu_anchor_jax_over_torch"] = anchor["jax_over_torch"]
+    except Exception:
+        pass
     print(json.dumps(result))
     return result
 
