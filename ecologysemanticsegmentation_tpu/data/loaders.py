@@ -78,6 +78,90 @@ class IndexedDataset:
 SKIPPED_RAW_FILES: list[str] = []
 
 
+def _arw_preview_decode(path: str) -> np.ndarray | None:
+    """Decode a Sony ``.arw`` RAW by extracting its embedded JPEG preview.
+
+    ARW is a TIFF container; every camera-written file carries at least one
+    full-scene JPEG preview addressed by the classic TIFF tag pair
+    JPEGInterchangeFormat (0x0201) / JPEGInterchangeFormatLength (0x0202) in
+    an IFD (IFD0, a chained IFD, or a SubIFD via tag 0x014A).  Walking those
+    IFDs and decoding the LARGEST preview gives a demosaiced, white-balanced
+    RGB image without a RAW-processing dependency — the same pixels rawpy's
+    ``postprocess`` approximates (reference ``fish_segmentation.py:17-24``
+    feeds the decode straight into a resize, so preview resolution is ample).
+    Returns BGR uint8 or None when the file has no parseable preview.
+    """
+    try:
+        with open(path, "rb") as f:
+            buf = f.read()
+        if len(buf) < 16 or buf[:2] not in (b"II", b"MM"):
+            return None
+        import struct
+
+        endian = "<" if buf[:2] == b"II" else ">"
+        if struct.unpack(endian + "H", buf[2:4])[0] != 42:
+            return None
+
+        best: tuple[int, int] | None = None  # (offset, length)
+        seen: set[int] = set()
+
+        def walk(ifd_off: int, depth: int = 0) -> None:
+            nonlocal best
+            if depth > 8 or ifd_off in seen or ifd_off <= 0:
+                return
+            seen.add(ifd_off)
+            if ifd_off + 2 > len(buf):
+                return
+            (n,) = struct.unpack_from(endian + "H", buf, ifd_off)
+            jpeg_off = jpeg_len = None
+            subifds: list[int] = []
+            for i in range(n):
+                e = ifd_off + 2 + 12 * i
+                if e + 12 > len(buf):
+                    return
+                tag, typ, cnt = struct.unpack_from(endian + "HHI", buf, e)
+                (val,) = struct.unpack_from(endian + "I", buf, e + 8)
+                if tag == 0x0201:
+                    jpeg_off = val
+                elif tag == 0x0202:
+                    jpeg_len = val
+                elif tag == 0x014A:  # SubIFDs: LONG offsets, inline or pointed
+                    if cnt == 1:
+                        subifds.append(val)
+                    elif 4 * cnt <= 4:
+                        pass
+                    else:
+                        for j in range(min(cnt, 8)):
+                            off = val + 4 * j
+                            if off + 4 <= len(buf):
+                                subifds.append(
+                                    struct.unpack_from(endian + "I", buf, off)[0]
+                                )
+            if (
+                jpeg_off is not None
+                and jpeg_len is not None
+                and jpeg_off + jpeg_len <= len(buf)
+                and buf[jpeg_off : jpeg_off + 2] == b"\xff\xd8"
+                and (best is None or jpeg_len > best[1])
+            ):
+                best = (jpeg_off, jpeg_len)
+            # chained next-IFD pointer
+            nxt_off = ifd_off + 2 + 12 * n
+            if nxt_off + 4 <= len(buf):
+                walk(struct.unpack_from(endian + "I", buf, nxt_off)[0], depth + 1)
+            for s in subifds:
+                walk(s, depth + 1)
+
+        walk(struct.unpack_from(endian + "I", buf, 4)[0])
+        if best is None:
+            return None
+        jpg = np.frombuffer(buf, np.uint8, count=best[1], offset=best[0])
+        img = cv2.imdecode(jpg, cv2.IMREAD_COLOR)
+        return img  # BGR, as cv2.imread returns
+    except Exception:
+        return None
+
+
 def _imread(path: str) -> np.ndarray | None:
     """RAW-aware imread (reference ``fish_segmentation.py:17-24`` decodes
     ``.arw`` via rawpy).  When rawpy is importable the RAW path decodes; when
@@ -88,10 +172,14 @@ def _imread(path: str) -> np.ndarray | None:
         try:
             import rawpy  # optional: present only where RAW data lives
         except ImportError:
+            preview = _arw_preview_decode(path)
+            if preview is not None:
+                return preview
             if path not in SKIPPED_RAW_FILES:
                 SKIPPED_RAW_FILES.append(path)
                 warnings.warn(
-                    f"RAW file skipped (rawpy unavailable): {path} "
+                    f"RAW file skipped (rawpy unavailable, no embedded JPEG "
+                    f"preview): {path} "
                     f"({len(SKIPPED_RAW_FILES)} RAW file(s) skipped so far)",
                     stacklevel=2,
                 )

@@ -86,6 +86,62 @@ def test_arw_raw_files_warn_and_count(tmp_path):
     assert len(ds) == 1  # the readable sample still loads
 
 
+def _write_synthetic_arw(path, img_bgr):
+    """Minimal ARW-shaped file: a TIFF (II*\\0) whose IFD0 carries the classic
+    JPEGInterchangeFormat/-Length (0x0201/0x0202) preview tag pair pointing at
+    an embedded JPEG — the structure every camera-written .arw has."""
+    import struct
+
+    import cv2
+
+    ok, jpg = cv2.imencode(".jpg", img_bgr)
+    assert ok
+    jpg = jpg.tobytes()
+    # header(8) + IFD: count(2) + 2 entries(24) + next-ptr(4) -> jpeg at 38
+    jpeg_off = 8 + 2 + 24 + 4
+    buf = struct.pack("<2sHI", b"II", 42, 8)
+    buf += struct.pack("<H", 2)
+    buf += struct.pack("<HHII", 0x0201, 4, 1, jpeg_off)
+    buf += struct.pack("<HHII", 0x0202, 4, 1, len(jpg))
+    buf += struct.pack("<I", 0)  # no next IFD
+    buf += jpg
+    path.write_bytes(buf)
+
+
+def test_arw_embedded_jpeg_preview_decodes(tmp_path):
+    """Without rawpy, .arw files decode via their embedded TIFF JPEG preview
+    instead of being skipped (reference fish_segmentation.py:17-24 decodes
+    RAW originals; the preview holds the same demosaiced scene)."""
+    import cv2
+
+    from ecologysemanticsegmentation_tpu.data import loaders
+
+    img = np.zeros((40, 48, 3), np.uint8)
+    img[10:30, 12:36] = (20, 180, 240)
+    arw = tmp_path / "scene.arw"
+    _write_synthetic_arw(arw, img)
+
+    out = loaders._imread(str(arw))
+    assert out is not None and out.shape == (40, 48, 3)
+    # JPEG round-trip tolerance
+    assert abs(int(out[20, 20, 2]) - 240) < 20
+    assert str(arw) not in loaders.SKIPPED_RAW_FILES
+
+    # an .arw dataset loads end-to-end through the ml_training_set scanner
+    mlts = tmp_path / "mlts" / "batch1"
+    (mlts / "original image").mkdir(parents=True)
+    (mlts / "whole body").mkdir(parents=True)
+    _write_synthetic_arw(mlts / "original image" / "c.arw", img)
+    cv2.imwrite(str(mlts / "whole body" / "c.png"), 255 - img)
+    ds = data.get_ml_training_set_data(
+        "segmentation/composite", "mlts", str(tmp_path), 32, 0.0,
+        organs=("whole_body",),
+    )
+    assert len(ds) == 1
+    image, mask, _ = ds[0]
+    assert image.shape == (32, 32, 3) and np.isfinite(image).all()
+
+
 def test_bbox_repair_output_is_consumed(fixture_root, tmp_path):
     """GT-repair pipeline end-to-end: rebuild_bbox_dataset output (the
     bbox_to_segmentation_gt layout) is loadable through FishDataset's
