@@ -72,7 +72,10 @@ def parse():
     path = paths[-1]
     print("parsing", path, flush=True)
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+    except ImportError:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
 
     params = {"tqx": "out:json;"}
     for tool in ("op_profile", "framework_op_stats", "hlo_stats"):
