@@ -106,7 +106,9 @@ def main(batch_size: int | None = None, steps: int = 20, warmup: int = 3) -> dic
     # Measured relative framework anchor (experiments/torch_cpu_anchor.py):
     # same arch/losses/optimizer at f32 on this host's one CPU core, JAX vs
     # the torch reference.  Shows the assumed-baseline ratio is not inflated
-    # by a slow-torch comparison.
+    # by a slow-torch comparison.  Point-in-time: recorded from the json's
+    # "note"/date, NOT re-measured per bench run — re-run the script after
+    # perf-relevant changes to refresh it.
     try:
         import os
         anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -114,6 +116,7 @@ def main(batch_size: int | None = None, steps: int = 20, warmup: int = 3) -> dic
         with open(anchor_path) as fh:
             anchor = json.load(fh)
         result["extra"]["measured_cpu_anchor_jax_over_torch"] = anchor["jax_over_torch"]
+        result["extra"]["cpu_anchor_recorded"] = anchor.get("recorded", "round 2")
     except Exception:
         pass
     print(json.dumps(result))

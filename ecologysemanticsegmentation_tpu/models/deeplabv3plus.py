@@ -9,8 +9,9 @@ classes=len(ORGANS))``, the model the reference actually trains
 * ASPP with a 1x1 branch, three separable atrous branches (rates 12/24/36),
   and a global-pooling branch, fused to 256 channels,
 * decoder: bilinear x4 upsample of ASPP output, concat with 48-channel
-  projection of the /4 features, separable 3x3 fuse,
-* head: 3x3 conv to ``classes`` + bilinear x4 upsample to input resolution.
+  projection of the /4 features (smp order: [aspp, low]), separable 3x3 fuse,
+* head: 1x1 conv to ``classes`` (smp's SegmentationHead kernel_size=1) +
+  bilinear x4 upsample to input resolution.
 
 TPU notes: NHWC, bf16 compute; the ASPP global-pool branch broadcasts instead
 of resizing a 1x1 map (same math, no gather); all upsampling is the einsum
@@ -105,15 +106,21 @@ class DeepLabV3Plus(nn.Module):
         y = resize_bilinear(y, low.shape[1:3], align_corners=True)
 
         low = ConvBNAct(48, (1, 1), dtype=self.dtype, name="low_project")(low, train)
-        # Virtual concat: same math/params as concatenating [low(48), y(256)],
-        # but the lane-unaligned 304-channel tensor never materializes (the
-        # measured dominant decoder cost — see SeparableConvBNAct docstring).
+        # Virtual concat: same math/params as concatenating [y(256), low(48)]
+        # — smp's channel order, ``torch.cat([aspp_features,
+        # high_res_features], 1)`` (decoders/deeplabv3/decoder.py), so real
+        # smp state dicts map verbatim — but the lane-unaligned 304-channel
+        # tensor never materializes (the measured dominant decoder cost; see
+        # SeparableConvBNAct docstring).
         y = SeparableConvBNAct(self.decoder_features, dtype=self.dtype, name="fuse")(
-            (low, y), train
+            (y, low), train
         )
 
+        # smp 0.3.3's DeepLabV3Plus SegmentationHead is a 1x1 conv
+        # (decoders/deeplabv3/model.py passes kernel_size=1) — the trained
+        # reference checkpoint's head has shape (classes, 256, 1, 1).
         y = nn.Conv(
-            self.num_classes, (3, 3), padding="SAME",
+            self.num_classes, (1, 1),
             dtype=self.dtype, param_dtype=jnp.float32, name="head",
         )(y)
         if not self.upsample_head:

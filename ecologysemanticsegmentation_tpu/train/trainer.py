@@ -51,18 +51,13 @@ def make_optimizer(lr: float = 3e-4) -> optax.GradientTransformation:
     overwriting the hyperparam, exactly like torch schedulers mutate the
     optimizer's lr).
 
-    Wrapped in ``optax.flatten``: the model has ~160 parameter leaves; on one
-    concatenated vector the whole update is a single fused elementwise pass
-    over contiguous HBM instead of ~1000 tiny per-leaf fusions.  Measured on
-    v5e at batch 128: isolated update 7.2 -> 5.0 ms; end-to-end step time is
-    unchanged (XLA already overlaps the per-leaf updates inside the fused
-    step), so this is kept for the standalone-update path and for larger
-    param counts where per-leaf overhead dominates.  The flatten wrapper
-    returns the *inner* ``InjectHyperparamsState``, so the trainers'
-    ``opt_state.hyperparams["learning_rate"]`` schedule mutation is
-    unchanged; only the ``mu``/``nu`` moment buffers become flat vectors
-    (checkpoints store them transparently as pytree leaves either way)."""
-    return optax.flatten(optax.inject_hyperparams(optax.adam)(learning_rate=lr))
+    Deliberately NOT wrapped in ``optax.flatten``: measured on v5e at batch
+    128 the flat-vector update wins only in isolation (7.2 -> 5.0 ms) while
+    the end-to-end step is unchanged (XLA overlaps the per-leaf updates
+    inside the fused step), and flattening changes the ``mu``/``nu``
+    checkpoint pytree — every previously saved msgpack checkpoint would
+    silently fail to resume (RESULTS.md, round-2 A/B log)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
 
 
 def create_train_state(model, rng, input_shape, tx) -> TrainState:

@@ -86,15 +86,19 @@ class SegmentColorDistribution:
             if palette_file and os.path.exists(palette_file) else None
         )
         if self.color_palette:
-            self.colors = [x["color_name"] for x in self.color_palette
-                           if x["color_name"] != self.BACKGROUND_CLASS]
+            # one filtered list drives BOTH the name order and the per-color
+            # lookups below — indexing the unfiltered palette with filtered
+            # indices would misalign every color after a 'background' entry
+            self._fg_palette = [x for x in self.color_palette
+                                if x["color_name"] != self.BACKGROUND_CLASS]
+            self.colors = [x["color_name"] for x in self._fg_palette]
             # mean hue per range pair, per color (hue-only distance as in
             # pixel_inrange_boolean, color_distribution_dataset.py:69-78)
             self._mean_hues = [
                 np.array([np.mean(r, axis=0)[0] for r in x["color_range"]],
                          np.float32)
                 if x["color_range"] is not None else None
-                for x in self.color_palette
+                for x in self._fg_palette
             ]
 
     def find_color_distribution(self, image_hsv: np.ndarray, mask: np.ndarray):
@@ -124,8 +128,8 @@ class SegmentColorDistribution:
         multi = np.zeros(image_hsv.shape, np.uint8)
         if len(pix_h):
             first_means = np.stack([
-                np.mean(self.color_palette[i]["color_range"][0], axis=0)
-                if self.color_palette[i]["color_range"] is not None
+                np.mean(self._fg_palette[i]["color_range"][0], axis=0)
+                if self._fg_palette[i]["color_range"] is not None
                 else np.zeros(3)
                 for i in range(n_colors)
             ]).astype(np.uint8)

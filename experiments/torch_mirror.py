@@ -43,8 +43,8 @@ class TorchDeepLabV3Plus(nn.Module):
         self.drop = nn.Dropout(dropout)
         self.aspp_out = _TorchSepConvBN(256, 256)
         self.low_project = _TorchConvBN(64, 48, k=1)
-        self.fuse = _TorchSepConvBN(48 + 256, 256)
-        self.head = nn.Conv2d(256, num_classes, 3, padding=1)
+        self.fuse = _TorchSepConvBN(256 + 48, 256)  # smp order: [aspp, low]
+        self.head = nn.Conv2d(256, num_classes, 1)  # smp SegmentationHead k=1
 
     def forward(self, x):
         xe = torch.relu(self.encoder.bn1(self.encoder.conv1(x)))
@@ -56,7 +56,7 @@ class TorchDeepLabV3Plus(nn.Module):
         y = self.drop(self.project(torch.cat(branches, 1)))
         y = self.aspp_out(y)
         y = F.interpolate(y, size=low.shape[2:], mode="bilinear", align_corners=True)
-        y = self.fuse(torch.cat([self.low_project(low), y], 1))
+        y = self.fuse(torch.cat([y, self.low_project(low)], 1))
         y = self.head(y)
         return F.interpolate(y, size=x.shape[2:], mode="bilinear", align_corners=True)
 

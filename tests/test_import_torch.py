@@ -168,8 +168,8 @@ def _fake_smp_deeplabv3plus_state_dict(rng, classes=3, prefix=""):
     sep("decoder.aspp.1", 256, 256, "decoder.aspp.2")
     conv("decoder.block1.0", 48, 64, 1)
     bn("decoder.block1.1", 48)
-    sep("decoder.block2.0", 48 + 256, 256, "decoder.block2.1")
-    conv("segmentation_head.0", classes, 256, 3)
+    sep("decoder.block2.0", 256 + 48, 256, "decoder.block2.1")  # smp cat([aspp, low])
+    conv("segmentation_head.0", classes, 256, 1)  # smp DeepLabV3Plus head k=1
     sd[f"{prefix}segmentation_head.0.bias"] = rng.normal(size=classes).astype(np.float32)
     return sd
 

@@ -130,7 +130,7 @@ def test_deeplabv3plus_forward_parity(rng):
     project = _TorchConvBN(256 * 5, 256, k=1); project.load(ap["project"], asb["project"])
     aspp_out = _TorchSepConvBN(256, 256); aspp_out.load(p["aspp_out"], s["aspp_out"])
     low_project = _TorchConvBN(64, 48, k=1); low_project.load(p["low_project"], s["low_project"])
-    fuse = _TorchSepConvBN(48 + 256, 256); fuse.load(p["fuse"], s["fuse"])
+    fuse = _TorchSepConvBN(256 + 48, 256); fuse.load(p["fuse"], s["fuse"])
     head_w = _t(p["head"]["kernel"])
     head_b = torch.from_numpy(np.asarray(p["head"]["bias"]).copy())
     for m in (conv1x1, pool_conv, project, aspp_out, low_project, fuse):
@@ -148,8 +148,8 @@ def test_deeplabv3plus_forward_parity(rng):
         y = project(torch.cat(branches, dim=1))
         y = aspp_out(y)
         y = F.interpolate(y, size=low.shape[2:], mode="bilinear", align_corners=True)
-        y = fuse(torch.cat([low_project(low), y], dim=1))
-        y = F.conv2d(y, head_w, head_b, padding=1)
+        y = fuse(torch.cat([y, low_project(low)], dim=1))
+        y = F.conv2d(y, head_w, head_b)  # smp head: 1x1, no padding
         ref = F.interpolate(y, size=(64, 64), mode="bilinear", align_corners=True)
 
     ref = ref.numpy().transpose(0, 2, 3, 1)

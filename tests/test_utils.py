@@ -143,7 +143,7 @@ def test_find_color_distribution_matches_reference_algorithm():
     for mdx, ndx in zip(*np.nonzero(mask)):
         distances = []
         for idx, color in enumerate(obj.colors):
-            cr = obj.color_palette[idx]["color_range"]
+            cr = obj._fg_palette[idx]["color_range"]
             if cr is None:
                 distances.append(1e5)
                 continue
@@ -153,6 +153,35 @@ def test_find_color_distribution_matches_reference_algorithm():
     assert counts == ref_counts
     assert sum(counts.values()) == int(mask.sum())
     assert multi.shape == img_hsv.shape and multi[mask > 0].any()
+
+
+def test_background_palette_entry_does_not_misalign_colors(tmp_path):
+    """A palette containing a 'background' entry (the class explicitly
+    supports one) must not shift the hue/paint lookups of the colors sorted
+    after it (regression: filtered color names were used to index the
+    UNfiltered palette)."""
+    from ecologysemanticsegmentation_tpu.utils.color_distribution import (
+        SegmentColorDistribution,
+    )
+
+    # reference txt format: "name:h,s,v" lower/upper bound line pairs,
+    # sorted so that 'background' lands in the middle
+    pf = tmp_path / "palette.txt"
+    pf.write_text(
+        "(azure, ((100, 90, 90), (110, 255, 255)))\n"
+        "(background, ((0, 0, 0), (0, 0, 0)))\n"
+        "(crimson, ((170, 90, 90), (180, 255, 255)))\n"
+    )
+    obj = SegmentColorDistribution(palette_file=str(pf))
+    assert obj.colors == ["azure", "crimson"]
+
+    img_hsv = np.zeros((4, 4, 3), np.uint8)
+    img_hsv[..., 0] = 175  # crimson hue band
+    img_hsv[..., 1:] = 200
+    counts, multi = obj.find_color_distribution(img_hsv, np.ones((4, 4)))
+    assert counts == {"azure": 0, "crimson": 16}
+    # painted with crimson's first-range mean, not background's zeros
+    assert multi[0, 0, 0] == np.uint8(np.mean([[170, 90, 90], [180, 255, 255]], axis=0)[0])
 
 
 def test_make_palette_image():
