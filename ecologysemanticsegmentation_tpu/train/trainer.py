@@ -139,7 +139,20 @@ def make_train_step(
             return sequential_cross_organ_losses(probs, labels)
         return seven_losses(probs, labels, bg_weight)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    import os
+
+    # TPU compiler knob passthrough (client-side XLA_FLAGS can't carry
+    # tpu-server flags through the remote relay; jit compiler_options can).
+    # TPU-only: other backends reject unknown compile options.
+    _vmem = os.environ.get("TPU_SCOPED_VMEM_KIB")
+    _copts = (
+        {"xla_tpu_scoped_vmem_limit_kib": _vmem}
+        if _vmem and jax.devices()[0].platform == "tpu" else None
+    )
+
+    @functools.partial(
+        jax.jit, donate_argnums=(0,), compiler_options=_copts
+    )
     def train_step(state, batch, rng, bg_weight, gates3, lr, jitters):
         images, labels = batch["image"], batch["label"]
         if augment:
