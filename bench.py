@@ -106,9 +106,9 @@ def main(batch_size: int | None = None, steps: int = 20, warmup: int = 3) -> dic
     # Measured relative framework anchor (experiments/torch_cpu_anchor.py):
     # same arch/losses/optimizer at f32 on this host's one CPU core, JAX vs
     # the torch reference.  Shows the assumed-baseline ratio is not inflated
-    # by a slow-torch comparison.  Point-in-time: recorded from the json's
-    # "note"/date, NOT re-measured per bench run — re-run the script after
-    # perf-relevant changes to refresh it.
+    # by a slow-torch comparison.  Point-in-time: the json's "recorded" field
+    # says when/at which commit it was measured; it is NOT re-measured per
+    # bench run — re-run the script after perf-relevant changes.
     try:
         import os
         anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

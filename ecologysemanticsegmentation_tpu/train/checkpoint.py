@@ -52,6 +52,29 @@ def list_checkpoints(save_dir: str, expt_name: str) -> list[tuple[int, str]]:
     return sorted(pairs)
 
 
+def _check_shapes(template_state: Any, state: Any) -> None:
+    """Raise if any restored leaf's shape differs from the template's.
+
+    ``flax.serialization.from_bytes`` restores by pytree *structure* without
+    shape validation, so an architecture-incompatible checkpoint (e.g. one
+    saved before the smp-exact 1×1 head correction) would "load" fine and
+    then crash — or silently misroute channels — deep inside the first
+    jitted step.  Catching it here keeps the documented contract: corrupt or
+    incompatible checkpoints are *skipped* (resume degrades to a fresh
+    start, the eval sweep moves on)."""
+    for (kp, t), (_, s) in zip(
+        jax.tree_util.tree_flatten_with_path(template_state)[0],
+        jax.tree_util.tree_flatten_with_path(state)[0],
+    ):
+        tshape = getattr(t, "shape", None)
+        sshape = getattr(s, "shape", None)
+        if tshape != sshape:
+            raise ValueError(
+                f"checkpoint leaf {jax.tree_util.keystr(kp)} has shape "
+                f"{sshape}, model expects {tshape} (incompatible architecture)"
+            )
+
+
 def load_recent_model(
     save_dir: str, template_state: Any, expt_name: str, epoch: int | None = None
 ) -> tuple[int, Any]:
@@ -71,6 +94,7 @@ def load_recent_model(
             start_epoch, path = matches[0]
         with open(path, "rb") as f:
             state = serialization.from_bytes(template_state, f.read())
+        _check_shapes(template_state, state)
         print(f"Used latest model file: {path}")
         return start_epoch, state
     except Exception:
@@ -92,7 +116,9 @@ def load_checkpoint_file(path: str, template_state: Any) -> Any | None:
         if path.endswith((".pt", ".pth")):
             return _load_torch_checkpoint(path, template_state)
         with open(path, "rb") as f:
-            return serialization.from_bytes(template_state, f.read())
+            state = serialization.from_bytes(template_state, f.read())
+        _check_shapes(template_state, state)
+        return state
     except Exception:
         traceback.print_exc()
         return None

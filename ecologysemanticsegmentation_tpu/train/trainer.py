@@ -18,6 +18,7 @@ BatchNorm fall out automatically.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable
 
 import jax
@@ -138,8 +139,6 @@ def make_train_step(
             del jitters
             return sequential_cross_organ_losses(probs, labels)
         return seven_losses(probs, labels, bg_weight)
-
-    import os
 
     # TPU compiler knob passthrough (client-side XLA_FLAGS can't carry
     # tpu-server flags through the remote relay; jit compiler_options can).

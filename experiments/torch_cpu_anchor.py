@@ -17,7 +17,9 @@ Writes experiments/torch_cpu_anchor.json.
 
 from __future__ import annotations
 
+import datetime
 import json
+import subprocess
 import os
 import sys
 import time
@@ -113,6 +115,11 @@ def main():
         "jax_over_torch": round(tt / tj, 3),
         "note": "same arch/losses/optimizer, f32, one CPU core; relative "
                 "framework anchor — not a TPU-vs-GPU claim",
+        # provenance consumed by bench.py's cpu_anchor_recorded field
+        "recorded": datetime.date.today().isoformat() + " " + subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))).stdout.strip(),
     }
     print(json.dumps(result))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),

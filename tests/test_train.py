@@ -112,6 +112,28 @@ def test_checkpoint_roundtrip_and_resume(tiny_setup, tmp_path, rng):
     assert load_checkpoint_file(str(bad), state) is None
 
 
+def test_architecture_mismatched_checkpoint_is_skipped(tiny_setup, tmp_path):
+    """A checkpoint whose leaf SHAPES differ from the template (e.g. saved
+    before an architecture change) must be treated as incompatible — resume
+    degrades to a fresh start and the eval sweep skips it — instead of
+    'loading' (flax from_bytes does no shape validation) and crashing or
+    silently misrouting inside the first jitted step."""
+    from ecologysemanticsegmentation_tpu.train import load_checkpoint_file
+
+    model, tx, state = tiny_setup
+    d = str(tmp_path / "ck")
+    # a state with one differently-shaped param leaf (old-architecture stand-in)
+    flat, treedef = jax.tree_util.tree_flatten(state.params)
+    flat[0] = np.zeros((3, 3) + np.shape(flat[0]), np.float32)
+    old_state = state.replace(params=jax.tree_util.tree_unflatten(treedef, flat))
+    save_checkpoint(d, "expt", 7, old_state)
+
+    epoch, restored = load_recent_model(d, state, "expt")
+    assert epoch == -1  # incompatible -> fresh-start contract
+    path = list_checkpoints(d, "expt")[0][1]
+    assert load_checkpoint_file(path, state) is None
+
+
 def test_cosine_warm_restarts_matches_torch_scheduler():
     import torch
 

@@ -164,8 +164,8 @@ def test_background_palette_entry_does_not_misalign_colors(tmp_path):
         SegmentColorDistribution,
     )
 
-    # reference txt format: "name:h,s,v" lower/upper bound line pairs,
-    # sorted so that 'background' lands in the middle
+    # reference txt format: one '(name, ((h,s,v), (h,s,v)))' tuple line per
+    # color; names chosen so 'background' sorts into the middle
     pf = tmp_path / "palette.txt"
     pf.write_text(
         "(azure, ((100, 90, 90), (110, 255, 255)))\n"
