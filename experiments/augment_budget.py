@@ -5,6 +5,11 @@ Usage: python experiments/augment_budget.py [batch]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import json
 import sys
 import time

@@ -11,6 +11,11 @@ Writes /tmp/step_budget.json and prints one JSON line per component.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import json
 import sys
 import time
