@@ -72,6 +72,8 @@ BATCH = 8
 N_TRAIN = 96
 N_TEST = 24
 EPOCHS = int(os.environ.get("PARITY_EPOCHS", 40))
+# PARITY_SEED offsets every seed (data, init, perms) for robustness reruns
+SEED = int(os.environ.get("PARITY_SEED", 0))
 EVAL_EVERY = 10
 BASE_LR = 3e-4
 
@@ -86,8 +88,8 @@ def build_data():
             masks.append(mask)
         return np.stack(imgs).astype(np.float32), np.stack(masks).astype(np.float32)
 
-    train = get_synthetic_data(img_shape=IMG, organs=ORGANS, num_samples=N_TRAIN, seed=0)
-    test = get_synthetic_data(img_shape=IMG, organs=ORGANS, num_samples=N_TEST, seed=11)
+    train = get_synthetic_data(img_shape=IMG, organs=ORGANS, num_samples=N_TRAIN, seed=SEED)
+    test = get_synthetic_data(img_shape=IMG, organs=ORGANS, num_samples=N_TEST, seed=11 + SEED)
     xtr, ytr = stack(train)
     xte, yte = stack(test)
     # union-set training targets, precomputed once (reference applies the
@@ -96,7 +98,8 @@ def build_data():
     return xtr, ytr, ytr_union, xte, yte
 
 
-def epoch_perms(epochs: int, n: int, seed: int = 1234):
+def epoch_perms(epochs: int, n: int, seed: int | None = None):
+    seed = 1234 + SEED if seed is None else seed
     rng = np.random.RandomState(seed)
     return [rng.permutation(n) for _ in range(epochs)]
 
@@ -254,7 +257,7 @@ def train_jax_framework(variables, data, perms, tag: str):
     xtr, ytr, _, xte, yte = data
     model = DeepLabV3Plus(num_classes=len(ORGANS))  # bf16, dropout 0.5
     tx = make_optimizer(BASE_LR)
-    state = create_train_state(model, jax.random.PRNGKey(0), (1, IMG, IMG, 3), tx)
+    state = create_train_state(model, jax.random.PRNGKey(SEED), (1, IMG, IMG, 3), tx)
     # identical initial weights
     state = state.replace(params=variables["params"],
                           batch_stats=variables["batch_stats"],
@@ -305,7 +308,7 @@ def main():
     init_model = DeepLabV3Plus(num_classes=len(ORGANS), aspp_dropout=0.0,
                                dtype=jnp.float32)
     variables = init_model.init(
-        {"params": jax.random.PRNGKey(3)}, jnp.zeros((1, IMG, IMG, 3)), train=False
+        {"params": jax.random.PRNGKey(3 + SEED)}, jnp.zeros((1, IMG, IMG, 3)), train=False
     )
     variables = jax.tree_util.tree_map(np.asarray, dict(variables))
 
