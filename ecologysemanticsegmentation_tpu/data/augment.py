@@ -390,9 +390,6 @@ def _clahe(key, x):
     excess = jnp.sum(jnp.maximum(hist - cap, 0.0), axis=1, keepdims=True)
     hist = jnp.minimum(hist, cap) + excess / _CLAHE_BINS
     cdf = jnp.cumsum(hist, axis=1) / n  # (B, bins), monotone to ~1
-    # Piecewise-constant LUT application as a one-hot einsum: a per-element
-    # take_along_axis gather here measured 38 ms (dominating the whole
-    # augmentation pipeline); the one-hot contraction rides the MXU instead.
     # Piecewise-constant LUT application as a fused step-function sum:
     # cdf[idx] = cdf[0] + sum_k (cdf[k]-cdf[k-1]) * 1{idx >= k}.  Each term is
     # an elementwise compare-FMA with a (B,1,1) broadcast, so XLA fuses the

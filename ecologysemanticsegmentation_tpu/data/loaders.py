@@ -128,9 +128,9 @@ def _arw_preview_decode(path: str) -> np.ndarray | None:
                 elif tag == 0x014A:  # SubIFDs: LONG offsets, inline or pointed
                     if cnt == 1:
                         subifds.append(val)
-                    elif 4 * cnt <= 4:
-                        pass
-                    else:
+                    elif cnt > 1:  # cnt==0 carries no offsets
+                        # multi-entry values don't fit the 4-byte field, so
+                        # ``val`` is a pointer to the offset array
                         for j in range(min(cnt, 8)):
                             off = val + 4 * j
                             if off + 4 <= len(buf):

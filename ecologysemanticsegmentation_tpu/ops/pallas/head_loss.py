@@ -260,6 +260,23 @@ def fused_head_loss_sums(
     assert logits_lr.shape[-1] == labels.shape[-1]
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        # Even at bb=1 the kernel must hold one label item, one logit item,
+        # the two interpolation operands and the (8, W*C) accumulator in
+        # VMEM (~16 MB).  Oversized configs (e.g. H=W>=1024 with C=3)
+        # degrade gracefully to the jnp reference instead of failing at
+        # compile time.
+        B, h, w, C = logits_lr.shape
+        _, H, W, _ = labels.shape
+        vmem_floor = (
+            H * W * C * 4            # one label item (f32 in-kernel)
+            + h * w * C * 4          # one logit item
+            + (w * C) * (W * C) * 4  # column interpolation operand
+            + H * h * 4              # row interpolation operand
+            + NUM_SUMS * W * C * 4   # accumulator
+        )
+        if vmem_floor > 12 * 2**20:
+            use_pallas = False
     if not use_pallas:
         return head_sums_reference(logits_lr, labels, align_corners)
     fused = _make_fused(tuple(logits_lr.shape), tuple(labels.shape),

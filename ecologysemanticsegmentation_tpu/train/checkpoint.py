@@ -62,10 +62,14 @@ def _check_shapes(template_state: Any, state: Any) -> None:
     jitted step.  Catching it here keeps the documented contract: corrupt or
     incompatible checkpoints are *skipped* (resume degrades to a fresh
     start, the eval sweep moves on)."""
-    for (kp, t), (_, s) in zip(
-        jax.tree_util.tree_flatten_with_path(template_state)[0],
-        jax.tree_util.tree_flatten_with_path(state)[0],
-    ):
+    tleaves = jax.tree_util.tree_flatten_with_path(template_state)[0]
+    sleaves = jax.tree_util.tree_flatten_with_path(state)[0]
+    if len(tleaves) != len(sleaves):
+        raise ValueError(
+            f"checkpoint has {len(sleaves)} leaves, model expects "
+            f"{len(tleaves)} (incompatible architecture)"
+        )
+    for (kp, t), (_, s) in zip(tleaves, sleaves):
         tshape = getattr(t, "shape", None)
         sshape = getattr(s, "shape", None)
         if tshape != sshape:

@@ -93,6 +93,7 @@ def make_train_step(
     loss_formula: str = "multiclass",
     deepsupervision: bool = False,
     lowres_head: bool = False,
+    k_steps: int = 1,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -119,8 +120,15 @@ def make_train_step(
     Valid only for the plain multi-organ losses_fn (``composite_mode=
     "none"``, no deep supervision): the composite variants consume
     full-resolution probability *slices* directly.
+
+    ``k_steps``: number of train steps fused into one dispatch via
+    ``lax.scan``.  With ``k_steps > 1`` the returned callable has the same
+    signature but ``batch`` leaves carry a leading (K,) axis (K
+    device-resident batches) and the returned metrics are stacked (K,).
+    Amortizes the remote-relay dispatch floor + inter-step device idle.
     """
     assert composite_mode in ("none", "general", "sequential")
+    assert k_steps >= 1
     if lowres_head:
         assert composite_mode == "none" and not deepsupervision, (
             "lowres_head folds the upsample into the plain seven_losses path"
@@ -149,10 +157,7 @@ def make_train_step(
         if _vmem and jax.devices()[0].platform == "tpu" else None
     )
 
-    @functools.partial(
-        jax.jit, donate_argnums=(0,), compiler_options=_copts
-    )
-    def train_step(state, batch, rng, bg_weight, gates3, lr, jitters):
+    def _step_body(state, batch, rng, bg_weight, gates3, lr, jitters):
         images, labels = batch["image"], batch["label"]
         if augment:
             aug_rng = jax.random.fold_in(rng, 0)
@@ -225,7 +230,30 @@ def make_train_step(
             metrics,
         )
 
-    return train_step
+    if k_steps == 1:
+        return functools.partial(
+            jax.jit, donate_argnums=(0,), compiler_options=_copts
+        )(_step_body)
+
+    # Multi-step dispatch: lax.scan K step bodies inside ONE jitted program.
+    # Each dispatch through the remote relay costs a ~3.7 ms floor plus ~3 ms
+    # of measured per-step device IDLE (relay dispatch gaps, RESULTS.md
+    # profile); scanning K steps pays that once per K.  ``batch`` leaves
+    # carry a leading (K,) axis; metrics come back stacked (K,) so callers
+    # can still log per-batch values.
+    @functools.partial(jax.jit, donate_argnums=(0,), compiler_options=_copts)
+    def train_step_scan(state, batches, rng, bg_weight, gates3, lr, jitters):
+        def body(state, xs):
+            batch, i = xs
+            return _step_body(
+                state, batch, jax.random.fold_in(rng, i),
+                bg_weight, gates3, lr, jitters,
+            )
+        return jax.lax.scan(
+            body, state, (batches, jnp.arange(k_steps, dtype=jnp.uint32))
+        )
+
+    return train_step_scan
 
 
 def make_eval_step(model, apply_union_reverse: bool = False) -> Callable:
