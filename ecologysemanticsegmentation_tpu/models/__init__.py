@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .common import StochasticDropout, ConvBNAct, SeparableConvBNAct
+from .fold_bn import fold_batchnorm
 from .deeplabv3plus import ASPP, DeepLabV3Plus, DeepLabV3PlusDepthwise
 from .resnet import ResNetEncoder, resnet34, resnet50, ENCODER_FEATURES
 from .efficientnet_v2s import (

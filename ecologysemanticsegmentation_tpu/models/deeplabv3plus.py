@@ -135,6 +135,7 @@ class DeepLabV3PlusDepthwise(nn.Module):
     num_classes: int = 1
     encoder_name: str = "resnet34"
     depthwise_multiplier: int = 5
+    aspp_dropout: float = 0.5
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -142,6 +143,7 @@ class DeepLabV3PlusDepthwise(nn.Module):
         y = DeepLabV3Plus(
             num_classes=self.num_classes * self.depthwise_multiplier,
             encoder_name=self.encoder_name,
+            aspp_dropout=self.aspp_dropout,
             dtype=self.dtype,
             name="smp_deeplab_model",
         )(x, train=train)

@@ -23,7 +23,8 @@ class Predictor:
     """Compile-once batched inference over a trained checkpoint."""
 
     def __init__(self, model, state, img_size: int = 256, batch_size: int = 16,
-                 union_reverse: bool = False, threshold: float | None = None):
+                 union_reverse: bool = False, threshold: float | None = None,
+                 fold_bn: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -32,6 +33,16 @@ class Predictor:
         self.img_size = img_size
         self.batch_size = batch_size
         self.threshold = threshold
+        if fold_bn:
+            # Inference-only: pre-multiply BN scale/stats into the conv
+            # kernels (models/fold_bn.py) — the per-channel BN multiply
+            # vanishes from the compiled forward.  Training states are
+            # unaffected (the Predictor owns this state copy).
+            from .models.fold_bn import fold_batchnorm
+
+            p, bs, self.n_folded_bns = fold_batchnorm(
+                state.params, state.batch_stats)
+            state = state.replace(params=p, batch_stats=bs)
         self._state = state
 
         @jax.jit

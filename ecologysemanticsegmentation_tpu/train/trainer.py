@@ -94,6 +94,7 @@ def make_train_step(
     deepsupervision: bool = False,
     lowres_head: bool = False,
     k_steps: int = 1,
+    scan_unroll: int = 1,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -250,7 +251,8 @@ def make_train_step(
                 bg_weight, gates3, lr, jitters,
             )
         return jax.lax.scan(
-            body, state, (batches, jnp.arange(k_steps, dtype=jnp.uint32))
+            body, state, (batches, jnp.arange(k_steps, dtype=jnp.uint32)),
+            unroll=scan_unroll,
         )
 
     return train_step_scan

@@ -118,10 +118,11 @@ def main():
 
     # 3. K-step scan dispatch
     if "scan" in which:
+        unroll = int(os.environ.get("ABL_UNROLL", 1))
         stacked = {k: jnp.broadcast_to(v, (K,) + v.shape) for k, v in batch.items()}
         stacked = {k: jnp.asarray(v) for k, v in stacked.items()}  # materialize
         stepk = make_train_step(model, tx, augment=True, lowres_head=True,
-                                k_steps=K)
+                                k_steps=K, scan_unroll=unroll)
         holder = {"s": fresh_state(model, tx)}
 
         def run_k(i):
@@ -131,7 +132,8 @@ def main():
 
         ms = bench(run_k, lambda m: float(m["loss"][-1]),
                    warmup=2, steps=max(4, STEPS // K))
-        record(f"scan_k{K}", ms / K, {"k_steps": K, "dispatch_ms": round(ms, 2)})
+        record(f"scan_k{K}_u{unroll}", ms / K,
+               {"k_steps": K, "unroll": unroll, "dispatch_ms": round(ms, 2)})
 
 
 if __name__ == "__main__":

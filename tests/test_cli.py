@@ -199,3 +199,35 @@ def test_bench_emits_json_line(tmp_path):
     data = json.loads(line)
     assert set(data) >= {"metric", "value", "unit", "vs_baseline"}
     assert data["value"] > 0
+
+
+def test_eval_cli_scores_reference_pt(tmp_path):
+    """The eval sweep scores a reference-format torch .pt checkpoint placed
+    in the models dir (smp state-dict layout -> flax import at load time)."""
+    import sys as _sys
+    import torch
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_import_torch import (
+        _sd_from_key_table, smp_decoder_key_table, torchvision_resnet_key_table,
+    )
+
+    rng = np.random.RandomState(0)
+    table = [(f"encoder.{k}", s) for k, s in torchvision_resnet_key_table("resnet34")]
+    table += smp_decoder_key_table(512, 64, classes=3)
+    sd = {k: torch.from_numpy(v) for k, v in _sd_from_key_table(table, rng).items()
+          if not k.endswith("num_batches_tracked")}
+
+    workdir = str(tmp_path)
+    ckpt_dir = os.path.join(workdir, "models", "clitest", "channels256", "img48")
+    os.makedirs(ckpt_dir)
+    torch.save(sd, os.path.join(ckpt_dir, "clitest_epoch7.pt"))
+
+    r = run_cli(
+        "ecologysemanticsegmentation_tpu.test_multiclass",
+        ["--dataset", "synthetic", "--batch_size", "4"],
+        cwd=workdir, env_extra=ENV,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Organ : whole_body DICE Score" in r.stdout
+    assert "Epoch 7" in r.stdout, r.stdout[-2000:]

@@ -277,3 +277,198 @@ def test_strip_smp_prefix():
     }
     out = strip_smp_deeplab_prefix(sd)
     assert out == {"encoder.conv1.weight": 1, "last_layers.weight": 3}
+
+
+# ---------------------------------------------------------------------------
+# Round-3 hardening (VERDICT r2 Next #7): the synthetic dicts above are built
+# from the same understanding of smp's tree as the mapper, so a transcription
+# error in import_torch.py's key map could pass its own test.  The checks
+# below validate against sources INDEPENDENT of import_torch.py:
+#   * literal transcriptions, written as data, of (a) torchvision's
+#     resnet34/resnet50 state-dict layouts (torchvision is not installed in
+#     this environment — torch only — so the layout table stands in for the
+#     live model) and (b) smp 0.3.3's DeepLabV3Plus decoder key list
+#     (decoders/deeplabv3/decoder.py: ASPP(separable=True) + SeparableConv2d
+#     Sequentials + block1/block2 + segmentation_head),
+#   * a key-consumption audit (every mappable checkpoint entry is read).
+# ---------------------------------------------------------------------------
+
+
+def _bn_keys(name, c, with_tracked=True):
+    ks = [(f"{name}.weight", (c,)), (f"{name}.bias", (c,)),
+          (f"{name}.running_mean", (c,)), (f"{name}.running_var", (c,))]
+    if with_tracked:
+        ks.append((f"{name}.num_batches_tracked", ()))
+    return ks
+
+
+def smp_decoder_key_table(enc_out: int, low_ch: int, classes: int):
+    """Literal smp-0.3.3 DeepLabV3Plus decoder state-dict layout.
+
+    Transcribed from segmentation_models_pytorch 0.3.3
+    decoders/deeplabv3/decoder.py:
+      DeepLabV3PlusDecoder.aspp = Sequential(ASPP(enc_out, 256, rates,
+        separable=True), SeparableConv2d(256, 256, 3, bias=False), BN, ReLU)
+      ASPP.convs = [Sequential(Conv2d(enc_out,256,1,bias=False), BN, ReLU),
+        3 x ASPPSeparableConv(= Sequential(SeparableConv2d, BN, ReLU)),
+        ASPPPooling(= Sequential(AdaptiveAvgPool2d, Conv2d(1x1,bias=False),
+        BN, ReLU))]; ASPP.project = Sequential(Conv2d(5*256,256,1,
+        bias=False), BN, ReLU, Dropout)
+      SeparableConv2d = Sequential(depthwise Conv2d(groups=in, bias=False),
+        pointwise Conv2d(1x1, bias=False))
+      block1 = Sequential(Conv2d(low_ch,48,1,bias=False), BN, ReLU)
+      block2 = Sequential(SeparableConv2d(304,256,3,bias=False), BN, ReLU)
+      SegmentationHead.0 = Conv2d(256, classes, 1) (bias=True)
+    """
+    t = []
+    t += [("decoder.aspp.0.convs.0.0.weight", (256, enc_out, 1, 1))]
+    t += _bn_keys("decoder.aspp.0.convs.0.1", 256)
+    for i in (1, 2, 3):
+        t += [(f"decoder.aspp.0.convs.{i}.0.0.weight", (enc_out, 1, 3, 3)),
+              (f"decoder.aspp.0.convs.{i}.0.1.weight", (256, enc_out, 1, 1))]
+        t += _bn_keys(f"decoder.aspp.0.convs.{i}.1", 256)
+    t += [("decoder.aspp.0.convs.4.1.weight", (256, enc_out, 1, 1))]
+    t += _bn_keys("decoder.aspp.0.convs.4.2", 256)
+    t += [("decoder.aspp.0.project.0.weight", (256, 256 * 5, 1, 1))]
+    t += _bn_keys("decoder.aspp.0.project.1", 256)
+    t += [("decoder.aspp.1.0.weight", (256, 1, 3, 3)),
+          ("decoder.aspp.1.1.weight", (256, 256, 1, 1))]
+    t += _bn_keys("decoder.aspp.2", 256)
+    t += [("decoder.block1.0.weight", (48, low_ch, 1, 1))]
+    t += _bn_keys("decoder.block1.1", 48)
+    t += [("decoder.block2.0.0.weight", (256 + 48, 1, 3, 3)),
+          ("decoder.block2.0.1.weight", (256, 256 + 48, 1, 1))]
+    t += _bn_keys("decoder.block2.1", 256)
+    t += [("segmentation_head.0.weight", (classes, 256, 1, 1)),
+          ("segmentation_head.0.bias", (classes,))]
+    return t
+
+
+class _RecordingDict(dict):
+    def __init__(self, data):
+        super().__init__(data)
+        self.accessed = set()
+
+    def __getitem__(self, k):
+        self.accessed.add(k)
+        return super().__getitem__(k)
+
+
+def torchvision_resnet_key_table(arch):
+    """Literal torchvision resnet34/resnet50 state-dict layout, in module
+    registration order.  Transcribed from torchvision.models.resnet source:
+    BasicBlock = conv1(3x3)/bn1/conv2(3x3)/bn2 [+ downsample on the first
+    block of layers 2-4]; Bottleneck = conv1(1x1,w)/bn1/conv2(3x3,w)/bn2/
+    conv3(1x1,4w)/bn3 [+ downsample on the first block of EVERY layer —
+    including layer1, whose 64->256 expansion needs the 1x1 projection]."""
+    block, blocks = {"resnet34": ("basic", (3, 4, 6, 3)),
+                     "resnet50": ("bottleneck", (3, 4, 6, 3))}[arch]
+    exp = 1 if block == "basic" else 4
+    t = [("conv1.weight", (64, 3, 7, 7))] + _bn_keys("bn1", 64)
+    widths = (64, 128, 256, 512)
+    in_ch = 64
+    for li, (n, w) in enumerate(zip(blocks, widths), start=1):
+        for b in range(n):
+            base = f"layer{li}.{b}"
+            cin = in_ch if b == 0 else w * exp
+            if block == "basic":
+                t += [(f"{base}.conv1.weight", (w, cin, 3, 3))] + _bn_keys(f"{base}.bn1", w)
+                t += [(f"{base}.conv2.weight", (w, w, 3, 3))] + _bn_keys(f"{base}.bn2", w)
+            else:
+                t += [(f"{base}.conv1.weight", (w, cin, 1, 1))] + _bn_keys(f"{base}.bn1", w)
+                t += [(f"{base}.conv2.weight", (w, w, 3, 3))] + _bn_keys(f"{base}.bn2", w)
+                t += [(f"{base}.conv3.weight", (w * exp, w, 1, 1))] + _bn_keys(f"{base}.bn3", w * exp)
+            if b == 0 and (li > 1 or exp > 1):
+                t += [(f"{base}.downsample.0.weight", (w * exp, cin, 1, 1))]
+                t += _bn_keys(f"{base}.downsample.1", w * exp)
+        in_ch = w * exp
+    return t
+
+
+def _sd_from_key_table(table, rng):
+    sd = {}
+    for key, shape in table:
+        if key.endswith("num_batches_tracked"):
+            sd[key] = np.zeros((), np.int64)
+        elif "running_var" in key:
+            sd[key] = (np.abs(rng.normal(size=shape)) + 0.5).astype(np.float32)
+        elif key.endswith(".weight") and len(shape) == 4:
+            sd[key] = (0.02 * rng.normal(size=shape)).astype(np.float32)
+        else:
+            sd[key] = rng.normal(size=shape).astype(np.float32)
+    return sd
+
+
+@pytest.mark.parametrize("arch", ["resnet34", "resnet50"])
+def test_resnet_import_from_literal_torchvision_layout(arch, rng):
+    """Map a state dict built from the literal torchvision layout table
+    (independent of import_torch.py's key map) and check tree equality."""
+    from ecologysemanticsegmentation_tpu.models import resnet50
+
+    sd = _sd_from_key_table(torchvision_resnet_key_table(arch), rng)
+    rec = _RecordingDict(sd)
+    params, stats = resnet_encoder_from_torch(rec)
+    unread = {k for k in sd if k not in rec.accessed
+              and not k.endswith("num_batches_tracked")}
+    assert not unread, f"importer never read: {sorted(unread)[:10]}"
+
+    enc = {"resnet34": resnet34, "resnet50": resnet50}[arch](
+        output_stride=16, dtype=jnp.float32)
+    variables = enc.init({"params": jax.random.PRNGKey(0)},
+                         jnp.zeros((1, 64, 64, 3)), train=False)
+
+    def keys(t):
+        return {jax.tree_util.keystr(k): v.shape for k, v in
+                jax.tree_util.tree_flatten_with_path(t)[0]}
+
+    assert keys(variables["params"]) == keys(params), (
+        set(keys(variables["params"])) ^ set(keys(params)))
+    assert keys(variables["batch_stats"]) == keys(stats)
+    feats = enc.apply({"params": params, "batch_stats": stats},
+                      jnp.ones((1, 64, 64, 3)) * 0.5, train=False)
+    assert np.isfinite(np.asarray(feats[-1])).all()
+
+
+@pytest.mark.parametrize("arch,enc_out,low_ch", [
+    ("resnet34", 512, 64), ("resnet50", 2048, 256)])
+def test_smp_import_against_literal_key_table(arch, enc_out, low_ch, rng):
+    """Full smp checkpoint built from the literal decoder transcription +
+    a real torchvision encoder: maps onto the flax tree, consumes every
+    mappable key, and (resnet34) agrees with the in-repo synthetic builder."""
+    from ecologysemanticsegmentation_tpu.models.resnet import ENCODER_FEATURES
+
+    table = [(f"encoder.{k}", s) for k, s in torchvision_resnet_key_table(arch)]
+    table += smp_decoder_key_table(enc_out, low_ch, classes=3)
+    sd = _sd_from_key_table(table, rng)
+
+    if arch == "resnet34":
+        # co-drift check: the in-repo synthetic builder must produce exactly
+        # the keys of this independent transcription (it omits
+        # num_batches_tracked, which torch ignores on load_state_dict too)
+        builder = set(_fake_smp_deeplabv3plus_state_dict(rng, classes=3))
+        independent = {k for k in sd if not k.endswith("num_batches_tracked")}
+        assert builder == independent, builder ^ independent
+
+    rec = _RecordingDict(sd)
+    params, stats = smp_deeplabv3plus_from_torch(rec)
+    unread = {k for k in sd if k not in rec.accessed
+              and not k.endswith("num_batches_tracked")}
+    assert not unread, f"importer never read: {sorted(unread)[:10]}"
+
+    model = DeepLabV3Plus(num_classes=3, encoder_name=arch)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+
+    def keys(t):
+        return {jax.tree_util.keystr(k): v.shape for k, v in
+                jax.tree_util.tree_flatten_with_path(t)[0]}
+
+    assert keys(variables["params"]) == keys(params), (
+        set(keys(variables["params"])) ^ set(keys(params)))
+    assert keys(variables["batch_stats"]) == keys(stats)
+    assert ENCODER_FEATURES[arch][-1] == enc_out
+
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.ones((1, 64, 64, 3)) * 0.5, train=False)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()

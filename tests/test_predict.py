@@ -38,3 +38,39 @@ def test_predictor_threshold(tmp_path, rng):
     p = _mini_predictor(tmp_path, threshold=0.5)
     out = p(rng.rand(2, 32, 32, 3).astype(np.float32))
     assert set(np.unique(out)).issubset({0.0, 1.0})
+
+
+def test_fold_batchnorm_preserves_eval_forward(rng):
+    """BN folding (models/fold_bn.py) must leave the eval-mode forward
+    numerically unchanged (f32 model => exact to float rounding), with
+    non-trivial batch statistics."""
+    from ecologysemanticsegmentation_tpu.models import DeepLabV3Plus, fold_batchnorm
+
+    model = DeepLabV3Plus(num_classes=2, aspp_dropout=0.0, dtype=jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    params = variables["params"]
+    # randomize the running stats so the fold is non-trivial
+    stats = jax.tree_util.tree_map_with_path(
+        lambda kp, x: jnp.asarray(
+            0.5 + rng.rand(*x.shape) if "var" in str(kp[-1])
+            else rng.randn(*x.shape) * 0.3, jnp.float32),
+        variables["batch_stats"],
+    )
+    x = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    ref = model.apply({"params": params, "batch_stats": stats}, x, train=False)
+
+    fp, fs, n = fold_batchnorm(params, stats)
+    assert n >= 30, f"expected to fold all conv+BN pairs, folded {n}"
+    folded = model.apply({"params": fp, "batch_stats": fs}, x, train=False)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_predictor_fold_bn_matches_unfolded(tmp_path, rng):
+    x = rng.rand(4, 32, 32, 3).astype(np.float32)
+    folded = _mini_predictor(tmp_path, fold_bn=True)
+    plain = _mini_predictor(tmp_path, fold_bn=False)
+    assert folded.n_folded_bns > 0
+    # bf16 compute: folding changes rounding, not semantics
+    np.testing.assert_allclose(folded(x), plain(x), atol=0.02)
