@@ -44,9 +44,14 @@ def create_mesh(
     return Mesh(grid, axis_names=("data", "model"))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis; replicate the rest."""
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis; replicate the rest.
+
+    ``spatial=True`` additionally shards image ROWS (the H axis of NHWC
+    batches) over the ``model`` axis — GSPMD spatial partitioning for
+    IMGSIZE >> 256: convs get automatic halo exchanges over ICI, so one
+    image's activations no longer need to fit a single chip's HBM."""
+    return NamedSharding(mesh, P("data", "model") if spatial else P("data"))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -58,6 +58,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ckpt", default="msgpack", choices=["msgpack", "orbax"],
                     help="Checkpoint backend: msgpack = reference filename "
                          "layout; orbax = async preemption-safe writes")
+    ap.add_argument("--spatial_partition", default=1, type=int,
+                    help="shard image rows over a mesh 'model' axis of this "
+                         "size (GSPMD spatial partitioning for IMGSIZE >> 256; "
+                         "1 = pure data parallelism)")
     ap.add_argument("--no_fused_head_loss", action="store_true",
                     help="Disable folding the head's x4 upsample + sigmoid "
                          "into the fused loss kernel (on by default for "
@@ -110,7 +114,10 @@ def train(args=None):
     cfg = EnvConfig.from_env()
     print(f"Organs: {list(cfg.organs)}")
 
-    mesh = create_mesh()
+    mesh = create_mesh(model_parallel=args.spatial_partition)
+    if args.spatial_partition > 1:
+        print(f"spatial partitioning: image rows over model axis of "
+              f"{args.spatial_partition}")
     batch_size = local_batch_to_global(args.batch_size, mesh)
     if batch_size != args.batch_size:
         print(f"batch_size {args.batch_size} -> {batch_size} (multiple of data axis)")
@@ -181,7 +188,10 @@ def train(args=None):
         t0 = time.time()
         images_seen = 0
         for i, batch in enumerate(
-            device_prefetch(iter(loader), sharding=batch_sharding(mesh))
+            device_prefetch(
+                iter(loader),
+                sharding=batch_sharding(mesh, spatial=args.spatial_partition > 1),
+            )
         ):
             step_rng = jax.random.fold_in(rng, epoch * 1_000_003 + i)
             arrays = {"image": batch["image"], "label": batch["label"]}

@@ -22,6 +22,9 @@ TRACE_DIR = "/tmp/step_trace"
 BATCH = int(os.environ.get("PROF_BATCH", 128))
 IMG = 256
 ORGANS = 3
+# PROF_MODEL=vgg_unet profiles the zoo's VGG19-BN U-Net step instead
+# (VERDICT r2 Next #3); default is the flagship's bench configuration.
+MODEL = os.environ.get("PROF_MODEL", "deeplabv3plus")
 
 
 def capture():
@@ -36,11 +39,13 @@ def capture():
         make_train_step,
     )
 
-    model = build_model("deeplabv3plus", num_classes=ORGANS,
-                        encoder_name="resnet34", upsample_head=False)
+    lowres = MODEL == "deeplabv3plus"
+    kw = {"upsample_head": False} if lowres else {}
+    model = build_model(MODEL, num_classes=ORGANS, encoder_name="resnet34",
+                        max_channels=256, **kw)
     tx = make_optimizer(3e-4)
     state = create_train_state(model, jax.random.PRNGKey(0), (1, IMG, IMG, 3), tx)
-    train_step = make_train_step(model, tx, augment=True, lowres_head=True)
+    train_step = make_train_step(model, tx, augment=True, lowres_head=lowres)
 
     rng = np.random.RandomState(0)
     batch = {
