@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.resize import upsample_nearest
+
 from .common import ConvBNAct
 from .resnet import ResNetEncoder
 
@@ -39,10 +39,12 @@ class UNet(nn.Module):
         skips = [feats[3], feats[2], feats[1], feats[0], None]
 
         for i, (ch, skip) in enumerate(zip(self.decoder_channels, skips)):
-            y = upsample_nearest(y, 2)
-            if skip is not None:
-                y = jnp.concatenate([y, skip.astype(y.dtype)], axis=-1)
-            y = ConvBNAct(ch, dtype=self.dtype, name=f"decoder{i}_conv1")(y, train)
+            # Fused nearest-x2 + concat([up, skip]) + conv (ConvBNAct tuple
+            # form -> NearestUpConcatConv): neither the upsampled tensor nor
+            # the concat materializes; parameters are unchanged.
+            skip = skip.astype(y.dtype) if skip is not None else None
+            y = ConvBNAct(ch, dtype=self.dtype, name=f"decoder{i}_conv1")(
+                (y, skip), train)
             y = ConvBNAct(ch, dtype=self.dtype, name=f"decoder{i}_conv2")(y, train)
 
         y = nn.Conv(

@@ -29,8 +29,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.resize import upsample_nearest
-from .common import StochasticDropout, leaky_relu, max_pool_2x2
+from .common import (
+    NearestUpConcatConv,
+    StochasticDropout,
+    leaky_relu,
+    max_pool_2x2,
+)
 
 Dtype = Any
 
@@ -54,7 +58,11 @@ def _decoder_plan(max_channels: int) -> tuple[list[int], list[bool]]:
 
 
 class DeconvNormActivation(nn.Module):
-    """N x (conv -> BN -> LeakyReLU -> optional StochasticDropout)."""
+    """N x (conv -> BN -> LeakyReLU -> optional StochasticDropout).
+
+    Block 0 accepts a ``(skip_highres, x_lowres)`` tuple, meaning
+    "nearest-x2 upsample x, concat [skip, x], then conv" — executed as the
+    fused :class:`NearestUpConcatConv` (same parameters)."""
 
     features: int
     kernel: int = 3
@@ -64,13 +72,21 @@ class DeconvNormActivation(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x, train: bool = False) -> jax.Array:
         for i in range(self.num_blocks):
-            x = nn.Conv(
-                self.features, (self.kernel, self.kernel), padding="SAME",
-                use_bias=self.use_bias, dtype=self.dtype,
-                param_dtype=jnp.float32, name=f"conv{i}",
-            )(x)
+            if isinstance(x, tuple):
+                assert i == 0 and self.kernel == 3
+                skip, low = x
+                x = NearestUpConcatConv(
+                    self.features, use_bias=self.use_bias, dtype=self.dtype,
+                    up_first=False, name=f"conv{i}",
+                )(low, skip)
+            else:
+                x = nn.Conv(
+                    self.features, (self.kernel, self.kernel), padding="SAME",
+                    use_bias=self.use_bias, dtype=self.dtype,
+                    param_dtype=jnp.float32, name=f"conv{i}",
+                )(x)
             x = nn.BatchNorm(
                 use_running_average=not train, dtype=self.dtype, name=f"bn{i}", **_BN
             )(x)
@@ -138,8 +154,10 @@ class VGGUNetDecoder(nn.Module):
             out_ch = channels[idx + 1]
             if upsample[idx]:
                 ds_features.append(x)
-                x = upsample_nearest(x, 2)
-                x = jnp.concatenate([skips[skip_idx].astype(x.dtype), x], axis=-1)
+                # (skip, x) tuple = fused nearest-x2 + concat + conv in the
+                # block below (NearestUpConcatConv); the upsampled tensor and
+                # the concat never materialize.
+                x = (skips[skip_idx].astype(x.dtype), x)
                 skip_idx += 1
             dp = self.dropout_p if self.dropout_min_channels <= out_ch else 0.0
             nb = 1 if idx == 0 and self.max_channels == 512 else 3

@@ -55,7 +55,10 @@ def main(steps=15, warmup=3):
     gates3 = jnp.ones((3,), jnp.float32)
     jitters = jnp.ones((2,), jnp.float32)
 
+    only = _os.environ.get("ZOO_ONLY")
     for label, bkw, skw in CONFIGS:
+        if only and only not in label:
+            continue
         model = build_model(num_classes=ORGANS, **bkw)
         tx = make_optimizer(3e-4)
         state = create_train_state(model, jax.random.PRNGKey(0), (1, IMG, IMG, 3), tx)

@@ -111,3 +111,32 @@ def test_build_model_factory():
     assert isinstance(m, models.DeepLabV3PlusDepthwise)
     with pytest.raises(ValueError):
         models.build_model("nope")
+
+
+def test_nearest_up_concat_conv_matches_oracle(rng):
+    """NearestUpConcatConv (fused nearest-x2 + concat + conv3x3) must equal
+    the composed ops exactly, in both concat orders, with/without skip."""
+    import jax.numpy as jnp
+    from ecologysemanticsegmentation_tpu.models.common import NearestUpConcatConv
+    from ecologysemanticsegmentation_tpu.ops.resize import upsample_nearest
+
+    low = jnp.asarray(rng.rand(2, 8, 9, 5), jnp.float32)
+    skip = jnp.asarray(rng.rand(2, 16, 18, 4), jnp.float32)
+
+    for up_first, with_skip in [(True, True), (False, True), (True, False)]:
+        m = NearestUpConcatConv(6, use_bias=True, up_first=up_first,
+                                dtype=jnp.float32)
+        sk = skip if with_skip else None
+        v = m.init({"params": jax.random.PRNGKey(0)}, low, sk)
+        out = m.apply(v, low, sk)
+
+        k = v["params"]["kernel"]
+        b = v["params"]["bias"]
+        up = upsample_nearest(low, 2)
+        parts = [up] if sk is None else (
+            [up, skip] if up_first else [skip, up])
+        ref = jax.lax.conv_general_dilated(
+            jnp.concatenate(parts, axis=-1), k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
