@@ -24,7 +24,7 @@ class Predictor:
 
     def __init__(self, model, state, img_size: int = 256, batch_size: int = 16,
                  union_reverse: bool = False, threshold: float | None = None,
-                 fold_bn: bool = True):
+                 fold_bn: bool = True, freeze_weights: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -45,18 +45,30 @@ class Predictor:
             state = state.replace(params=p, batch_stats=bs)
         self._state = state
 
-        @jax.jit
-        def forward(state, images):
-            out = model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                images.astype(jnp.bfloat16), train=False,
-            )
+        def apply(variables, images):
+            out = model.apply(variables, images.astype(jnp.bfloat16),
+                              train=False)
             probs = jax.nn.sigmoid(out.astype(jnp.float32))
             if union_reverse:
                 probs = return_union_sets_descending_order(probs, reverse=True)
             return probs
 
-        self._forward = forward
+        if freeze_weights:
+            # Serving mode: bake the (folded) weights into the compiled
+            # program as constants — XLA pre-layouts/constant-folds them.
+            # Measured v5e batch 128 @ 256px: 16.8 -> 15.9 ms/step
+            # (experiments/serving_fold_ab.py).  Value-only BN folding is
+            # timing-neutral (the eval-BN affine was already fused into the
+            # conv epilogue); the win comes from constant-baking.
+            variables = {"params": self._state.params,
+                         "batch_stats": self._state.batch_stats}
+            baked = jax.jit(lambda images: apply(variables, images))
+            self._forward = lambda _state, images: baked(images)
+        else:
+            self._forward = jax.jit(
+                lambda state, images: apply(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats}, images))
 
     @classmethod
     def from_checkpoint(

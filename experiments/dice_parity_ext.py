@@ -432,7 +432,8 @@ def main():
     if os.path.exists(out):
         with open(out) as f:
             all_results = json.load(f)
-    all_results[CONFIG] = results
+    key = CONFIG if SEED == 0 else f"{CONFIG}_seed{SEED}"
+    all_results[key] = results
     with open(out, "w") as f:
         json.dump(all_results, f, indent=1)
 
