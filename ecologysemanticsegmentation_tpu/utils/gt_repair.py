@@ -124,3 +124,18 @@ def rebuild_bbox_dataset(
         )
         results.append((out_path, x, y))
     return results
+
+
+def reference_bbox_images(data_root: str) -> list[str]:
+    """Absolute paths of the alvaradolab images named by the reference's
+    bbox-annotation table (``dataset/resources/composite_bboxes.py``,
+    consumed at ``manual_bbox_identification.py:50`` as
+    ``os.path.join(ORIGINAL_DATA, x)``) — the images whose ground truth
+    needs :func:`rebuild_bbox_dataset`'s re-alignment.  Missing files are
+    kept in the list (the reference would fail on imread the same way);
+    callers filter with ``os.path.exists`` as needed."""
+    import os
+
+    from ..resources.composite_bboxes import BBOX_ANNOTATION_FILES
+
+    return [os.path.join(data_root, x) for x in BBOX_ANNOTATION_FILES]

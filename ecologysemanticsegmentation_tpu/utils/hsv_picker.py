@@ -7,10 +7,19 @@ Also provides the headless :func:`hsv_at` used by tests.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import cv2
 import numpy as np
+
+# The reference opens its packaged ``resources/palette.png`` by default
+# (``dataset/utils/hsv_picker.py:4``); ours is generated from
+# utils.color_distribution.make_palette_image (an HSV sweep chart).
+DEFAULT_PALETTE_PNG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources", "palette.png",
+)
 
 
 def hsv_at(image_bgr: np.ndarray, x: int, y: int) -> tuple[int, int, int]:
@@ -34,4 +43,4 @@ def main(path: str) -> None:  # pragma: no cover - interactive
 
 
 if __name__ == "__main__":  # pragma: no cover
-    main(sys.argv[1] if len(sys.argv) > 1 else "palette.png")
+    main(sys.argv[1] if len(sys.argv) > 1 else DEFAULT_PALETTE_PNG)
