@@ -94,13 +94,13 @@ def run(variant: str, seed: int):
     tx = make_optimizer(3e-4)
     state = create_train_state(model, jax.random.PRNGKey(3 + seed),
                                (1, IMG, IMG, 3), tx)
+    # NOTE: the patch must stay active until after the first step CALL —
+    # jit traces the body (and thus reads the augment symbol) at first
+    # invocation, not at make_train_step time.
     orig = trainer_mod.augment_batch
     if variant == "per_sample":
         trainer_mod.augment_batch = augment_per_sample
-    try:
-        step = make_train_step(model, tx, augment=True)
-    finally:
-        trainer_mod.augment_batch = orig
+    step = make_train_step(model, tx, augment=True)
     eval_step = make_eval_step(model)
     lr_at = cosine_annealing_warm_restarts(3e-4, t_0=100)
     perms = [np.random.RandomState(1234 + seed + e).permutation(N_TRAIN)
@@ -131,6 +131,7 @@ def run(variant: str, seed: int):
             print(f"[{variant} seed{seed}] epoch {epoch+1}: "
                   f"dice={np.round(scores / nb, 4)} ({time.time()-t0:.0f}s)",
                   flush=True)
+    trainer_mod.augment_batch = orig
     return history
 
 
