@@ -131,11 +131,21 @@ def reference_bbox_images(data_root: str) -> list[str]:
     bbox-annotation table (``dataset/resources/composite_bboxes.py``,
     consumed at ``manual_bbox_identification.py:50`` as
     ``os.path.join(ORIGINAL_DATA, x)``) — the images whose ground truth
-    needs :func:`rebuild_bbox_dataset`'s re-alignment.  Missing files are
-    kept in the list (the reference would fail on imread the same way);
-    callers filter with ``os.path.exists`` as needed."""
+    needs :func:`rebuild_bbox_dataset`'s re-alignment.  The table ships as
+    a data resource (``resources/bbox_annotation_files.txt``, same
+    treatment as ``color_palette.txt``).  Missing files are kept in the
+    list (the reference would fail on imread the same way); callers filter
+    with ``os.path.exists`` as needed."""
     import os
 
-    from ..resources.composite_bboxes import BBOX_ANNOTATION_FILES
-
-    return [os.path.join(data_root, x) for x in BBOX_ANNOTATION_FILES]
+    table = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "bbox_annotation_files.txt",
+    )
+    paths = []
+    with open(table) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                paths.append(os.path.join(data_root, line))
+    return paths

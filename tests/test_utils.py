@@ -211,3 +211,26 @@ def test_grad_cam_shapes():
     heat = np.asarray(heat)
     assert heat.shape == (1, 64, 64)
     assert np.isfinite(heat).all() and heat.max() <= 1.0 + 1e-6
+
+
+def test_reference_bbox_images_table():
+    """The reference bbox-annotation data table ships and joins like the
+    reference's ORIGINAL_DATA path construction."""
+    from ecologysemanticsegmentation_tpu.utils.gt_repair import reference_bbox_images
+
+    paths = reference_bbox_images("/root/data")
+    assert len(paths) == 230
+    assert paths[0].startswith("/root/data/") and paths[0].endswith(".jpg")
+    assert all("original image" in p for p in paths)
+
+
+def test_default_palette_png_exists():
+    import os
+
+    import cv2
+
+    from ecologysemanticsegmentation_tpu.utils.hsv_picker import DEFAULT_PALETTE_PNG
+
+    assert os.path.exists(DEFAULT_PALETTE_PNG)
+    img = cv2.imread(DEFAULT_PALETTE_PNG)
+    assert img is not None and img.shape[2] == 3
