@@ -145,8 +145,8 @@ class EfficientNetV2SUNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from .common import NearestUpConcatConv
         from .mbdeconv import MBDeconv
-        from ..ops.resize import upsample_nearest
 
         feats = EfficientNetV2SEncoder(
             self.depth_multiplier, dtype=self.dtype, name="encoder"
@@ -155,12 +155,16 @@ class EfficientNetV2SUNet(nn.Module):
         skips = feats[-2::-1]  # deepest-first
         widths = (160, 96, 64, 32, 24)
         for i, (skip, wdt) in enumerate(zip(skips, widths)):
-            y = upsample_nearest(y, 2)
-            y = jnp.concatenate([y, skip.astype(y.dtype)], axis=-1)
-            y = MBDeconv(wdt, stride=1, dtype=self.dtype, name=f"dec{i}")(y, train)
-        y = upsample_nearest(y, 2)  # /2 -> /1
-        y = nn.Conv(self.num_classes, (3, 3), padding="SAME",
-                    dtype=jnp.float32, param_dtype=jnp.float32, name="head")(
-            y.astype(jnp.float32)
-        )
+            # (low, skip) = fused ``concat([nearest_x2(y), skip])`` entry:
+            # MBDeconv's expand 1x1 contracts y at LOW resolution (4x fewer
+            # MACs) and neither the upsample nor the concat materializes.
+            # Same parameters as the materialized form.
+            y = MBDeconv(wdt, stride=1, dtype=self.dtype, name=f"dec{i}")(
+                (y, skip.astype(y.dtype)), train
+            )
+        # /2 -> /1 head: nearest-x2 + conv3x3 as one lhs-dilated conv (same
+        # "head" kernel/bias parameters as the nn.Conv it replaces).
+        y = NearestUpConcatConv(
+            self.num_classes, use_bias=True, dtype=jnp.float32, name="head"
+        )(y.astype(jnp.float32))
         return y

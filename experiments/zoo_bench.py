@@ -31,6 +31,7 @@ CONFIGS = [
     ("deeplabv3plus_depthwise", dict(name="deeplabv3plus_depthwise"), {}),
     ("unet_resnet34", dict(name="unet"), {}),
     ("vgg19bn_unet", dict(name="vgg_unet"), {}),
+    ("efficientnet_v2s_unet", dict(name="efficientnet_v2s_unet"), {}),
 ]
 
 

@@ -45,6 +45,36 @@ def test_efficientnet_v2s_encoder_pyramid():
     assert feats[-1].shape[-1] == 256
 
 
+def test_mbdeconv_fused_entry_matches_materialized():
+    """MBDeconv fed a (low, skip) tuple (fused up+concat entry) must equal
+    the same block fed the materialized concat([nearest_x2(low), skip]),
+    with identical parameters."""
+    from ecologysemanticsegmentation_tpu.ops.resize import upsample_nearest
+
+    rng = np.random.RandomState(7)
+    low = jnp.asarray(rng.rand(2, 4, 4, 6), jnp.float32)
+    skip = jnp.asarray(rng.rand(2, 8, 8, 3), jnp.float32)
+    m = MBDeconv(features=5, stride=1, dtype=jnp.float32)
+
+    v = m.init({"params": jax.random.PRNGKey(0)}, (low, skip), train=False)
+    out_fused = m.apply(v, (low, skip), train=False)
+    cat = jnp.concatenate([upsample_nearest(low, 2), skip], axis=-1)
+    out_mat = m.apply(v, cat, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_mat), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_mbdeconv_stride2_fused_matches_round2_params():
+    """The stride-2 fused depthwise path keeps the nn.Conv grouped-kernel
+    parameter layout (checkpoint compatibility with the materialized form)."""
+    m = MBDeconv(features=32, stride=2, dtype=jnp.float32)
+    x = jnp.zeros((2, 8, 8, 16))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    assert v["params"]["depthwise"]["conv"]["kernel"].shape == (3, 3, 1, 64)
+    assert m.apply(v, x, train=False).shape == (2, 16, 16, 32)
+
+
 def test_efficientnet_v2s_unet():
     from ecologysemanticsegmentation_tpu.models import build_model
 
@@ -57,3 +87,7 @@ def test_efficientnet_v2s_unet():
     v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     out = m.apply(v, x, train=False)
     assert out.shape == (1, 64, 64, 2)
+    # fused decoder/head keep the materialized form's parameter layout
+    assert v["params"]["dec0"]["expand"]["conv"]["kernel"].shape[:3] == (1, 1, 416)
+    assert v["params"]["head"]["kernel"].shape == (3, 3, 32, 2)
+    assert v["params"]["head"]["bias"].shape == (2,)
