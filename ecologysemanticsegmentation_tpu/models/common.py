@@ -141,45 +141,6 @@ class NearestUpDepthwiseConv(nn.Module):
         return out
 
 
-class UpPointwiseConv(nn.Module):
-    """``conv1x1(concat([nearest_x2(low), skip]))`` with neither the upsample
-    nor the concat materialized: a 1x1 conv commutes with nearest upsampling,
-    so the ``low`` operand is contracted at LOW resolution (4x fewer MACs),
-    the result nearest-upsampled, and the ``skip`` operand's contraction added
-    at full resolution — algebraically identical (same channel-slice order as
-    ``concat([up, skip])``), with the same (1, 1, C_low + C_skip, F) kernel
-    parameter as the ``nn.Conv`` it replaces.
-    """
-
-    features: int
-    use_bias: bool = False
-    dtype: Dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, low: jax.Array, skip: jax.Array | None = None) -> jax.Array:
-        cu = low.shape[-1]
-        cs = 0 if skip is None else skip.shape[-1]
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (1, 1, cu + cs, self.features), jnp.float32,
-        )
-        out = jax.lax.dot_general(
-            low.astype(self.dtype), kernel[0, 0, :cu].astype(self.dtype),
-            dimension_numbers=(((3,), (0,)), ((), ())),
-        )
-        out = jnp.repeat(jnp.repeat(out, 2, axis=1), 2, axis=2)
-        if skip is not None:
-            out = out + jax.lax.dot_general(
-                skip.astype(self.dtype), kernel[0, 0, cu:].astype(self.dtype),
-                dimension_numbers=(((3,), (0,)), ((), ())),
-            )
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,), jnp.float32)
-            out = out + bias.astype(self.dtype)
-        return out
-
-
 class ConvBNAct(nn.Module):
     """Conv → BatchNorm → activation, the workhorse block.
 
@@ -206,24 +167,21 @@ class ConvBNAct(nn.Module):
             # (x_lowres, skip_or_None) marks a fused nearest-x2 entry: the
             # upsampled tensor (and the concat, if skip is given) never
             # materializes.  Dispatch on the conv this block would have run —
-            # all three fused modules keep the same "conv" parameter layout.
+            # both fused modules keep the same "conv" parameter layout.
+            # (A third variant — contracting a 1x1 conv's low-res operand
+            # before upsampling — measured 1.4-1.9x SLOWER than the
+            # materialized concat and was removed; RESULTS.md round 3.)
             assert (self.strides, self.dilation) == ((1, 1), (1, 1))
+            assert self.kernel_size == (3, 3)
             low, skip = x
             if self.groups != 1:
                 # depthwise3x3(nearest_x2(low)) as one grouped dilated conv
-                assert skip is None and self.kernel_size == (3, 3)
+                assert skip is None
                 assert self.groups == self.features == low.shape[-1]
                 x = NearestUpDepthwiseConv(
                     use_bias=self.use_bias, dtype=self.dtype, name="conv",
                 )(low)
-            elif self.kernel_size == (1, 1):
-                # conv1x1(concat([up, skip])): low contracted at low res
-                x = UpPointwiseConv(
-                    self.features, use_bias=self.use_bias, dtype=self.dtype,
-                    name="conv",
-                )(low, skip)
             else:
-                assert self.kernel_size == (3, 3)
                 x = NearestUpConcatConv(
                     self.features, use_bias=self.use_bias, up_first=True,
                     dtype=self.dtype, name="conv",

@@ -147,6 +147,7 @@ class EfficientNetV2SUNet(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         from .common import NearestUpConcatConv
         from .mbdeconv import MBDeconv
+        from ..ops.resize import upsample_nearest
 
         feats = EfficientNetV2SEncoder(
             self.depth_multiplier, dtype=self.dtype, name="encoder"
@@ -155,13 +156,14 @@ class EfficientNetV2SUNet(nn.Module):
         skips = feats[-2::-1]  # deepest-first
         widths = (160, 96, 64, 32, 24)
         for i, (skip, wdt) in enumerate(zip(skips, widths)):
-            # (low, skip) = fused ``concat([nearest_x2(y), skip])`` entry:
-            # MBDeconv's expand 1x1 contracts y at LOW resolution (4x fewer
-            # MACs) and neither the upsample nor the concat materializes.
-            # Same parameters as the materialized form.
-            y = MBDeconv(wdt, stride=1, dtype=self.dtype, name=f"dec{i}")(
-                (y, skip.astype(y.dtype)), train
-            )
+            # Materialized up+concat on purpose: contracting the low-res
+            # operand before upsampling (a fused 1x1 variant) measured 1.4x
+            # SLOWER at the 8px stage and 1.9x slower at 128px — the
+            # nearest-repeat over the 4x-wider expand output moves more HBM
+            # bytes than the concat it saves (RESULTS.md round 3).
+            y = upsample_nearest(y, 2)
+            y = jnp.concatenate([y, skip.astype(y.dtype)], axis=-1)
+            y = MBDeconv(wdt, stride=1, dtype=self.dtype, name=f"dec{i}")(y, train)
         # /2 -> /1 head: nearest-x2 + conv3x3 as one lhs-dilated conv (same
         # "head" kernel/bias parameters as the nn.Conv it replaces).
         y = NearestUpConcatConv(

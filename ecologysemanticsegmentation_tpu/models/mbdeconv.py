@@ -31,18 +31,9 @@ class MBDeconv(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> jax.Array:
-        # A tuple input (low, skip) is a fused decoder entry standing for
-        # ``concat([nearest_x2(low), skip])``: the expand 1x1 contracts the
-        # low-res operand BEFORE upsampling (UpPointwiseConv via ConvBNAct's
-        # tuple dispatch), so neither the x4-size upsample nor the channel
-        # concat ever materializes.  Parameters are identical either way.
-        fused_entry = isinstance(x, tuple)
-        if fused_entry:
-            in_ch = x[0].shape[-1] + (0 if x[1] is None else x[1].shape[-1])
-        else:
-            in_ch = x.shape[-1]
-            identity = x
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        in_ch = x.shape[-1]
+        identity = x
         mid = in_ch * self.expand_ratio
 
         y = ConvBNAct(mid, (1, 1), act=nn.silu, dtype=self.dtype, name="expand")(x, train)
@@ -57,7 +48,7 @@ class MBDeconv(nn.Module):
             y, train
         )
 
-        if self.stride == 1 and not fused_entry and self.features == in_ch:
+        if self.stride == 1 and self.features == in_ch:
             y = StochasticDropout(self.stochastic_dropout_p, name="sd")(
                 y, deterministic=not train
             )

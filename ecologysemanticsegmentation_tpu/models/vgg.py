@@ -38,6 +38,13 @@ from .common import (
 
 Dtype = Any
 
+# NOTE a save-only-conv-outputs rematerialization policy over the encoder and
+# decoder (nn.remat + checkpoint_name tags) was tried and REJECTED: the
+# backward replay of a whole region holds its recompute temporaries alongside
+# the saved set, and HBM use grew from <15.75G to 20.4G (compile-time OOM) at
+# the flagship batch 128 @ 256px config (RESULTS.md round 3,
+# experiments/vgg_remat_oom.log).  Don't retry without finer granularity.
+
 # vgg19_bn configuration "E": conv widths with 'M' max-pools.
 VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
              512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]

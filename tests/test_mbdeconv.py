@@ -45,26 +45,6 @@ def test_efficientnet_v2s_encoder_pyramid():
     assert feats[-1].shape[-1] == 256
 
 
-def test_mbdeconv_fused_entry_matches_materialized():
-    """MBDeconv fed a (low, skip) tuple (fused up+concat entry) must equal
-    the same block fed the materialized concat([nearest_x2(low), skip]),
-    with identical parameters."""
-    from ecologysemanticsegmentation_tpu.ops.resize import upsample_nearest
-
-    rng = np.random.RandomState(7)
-    low = jnp.asarray(rng.rand(2, 4, 4, 6), jnp.float32)
-    skip = jnp.asarray(rng.rand(2, 8, 8, 3), jnp.float32)
-    m = MBDeconv(features=5, stride=1, dtype=jnp.float32)
-
-    v = m.init({"params": jax.random.PRNGKey(0)}, (low, skip), train=False)
-    out_fused = m.apply(v, (low, skip), train=False)
-    cat = jnp.concatenate([upsample_nearest(low, 2), skip], axis=-1)
-    out_mat = m.apply(v, cat, train=False)
-    np.testing.assert_allclose(
-        np.asarray(out_fused), np.asarray(out_mat), rtol=1e-5, atol=1e-5
-    )
-
-
 def test_mbdeconv_stride2_fused_matches_round2_params():
     """The stride-2 fused depthwise path keeps the nn.Conv grouped-kernel
     parameter layout (checkpoint compatibility with the materialized form)."""

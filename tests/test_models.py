@@ -162,32 +162,3 @@ def test_nearest_up_depthwise_conv_matches_oracle(rng):
     ) + v["params"]["bias"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
-
-
-def test_up_pointwise_conv_matches_oracle(rng):
-    """UpPointwiseConv (conv1x1 of a virtual concat([nearest_x2(low), skip]),
-    low contracted at low resolution) must equal the composed ops, with the
-    nn.Conv 1x1 kernel layout."""
-    import jax.numpy as jnp
-    from ecologysemanticsegmentation_tpu.models.common import UpPointwiseConv
-    from ecologysemanticsegmentation_tpu.ops.resize import upsample_nearest
-
-    low = jnp.asarray(rng.rand(2, 8, 9, 5), jnp.float32)
-    skip = jnp.asarray(rng.rand(2, 16, 18, 4), jnp.float32)
-
-    for with_skip in (True, False):
-        m = UpPointwiseConv(6, use_bias=True, dtype=jnp.float32)
-        sk = skip if with_skip else None
-        v = m.init({"params": jax.random.PRNGKey(0)}, low, sk)
-        out = m.apply(v, low, sk)
-        cin = 5 + (4 if with_skip else 0)
-        assert v["params"]["kernel"].shape == (1, 1, cin, 6)
-
-        up = upsample_nearest(low, 2)
-        cat = jnp.concatenate([up, skip], -1) if with_skip else up
-        ref = jax.lax.conv_general_dilated(
-            cat, v["params"]["kernel"], (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + v["params"]["bias"]
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-5, atol=1e-5)
