@@ -24,7 +24,8 @@ class Predictor:
 
     def __init__(self, model, state, img_size: int = 256, batch_size: int = 16,
                  union_reverse: bool = False, threshold: float | None = None,
-                 fold_bn: bool = True, freeze_weights: bool = True):
+                 fold_bn: bool = True, freeze_weights: bool = True,
+                 int8: bool = False, calibration_images=None):
         import jax
         import jax.numpy as jnp
 
@@ -45,15 +46,43 @@ class Predictor:
             state = state.replace(params=p, batch_stats=bs)
         self._state = state
 
-        def apply(variables, images):
-            out = model.apply(variables, images.astype(jnp.bfloat16),
-                              train=False)
+        def postprocess(out):
             probs = jax.nn.sigmoid(out.astype(jnp.float32))
             if union_reverse:
                 probs = return_union_sets_descending_order(probs, reverse=True)
             return probs
 
-        if freeze_weights:
+        def apply(variables, images):
+            return postprocess(
+                model.apply(variables, images.astype(jnp.bfloat16), train=False))
+
+        if int8:
+            # Post-training int8 quantization (quant.py): per-channel int8
+            # weights x per-tensor int8 activations on the MXU's double-rate
+            # int8 path, calibrated on ``calibration_images`` (or lazily on
+            # the first served batch).  Implies freeze_weights — the int8
+            # kernels and scales are baked as program constants.
+            self.n_quantized = None
+            self._calib = calibration_images
+
+            def forward(_state, images):
+                if getattr(self, "_int8_fn", None) is None:
+                    from .quant import quantize_for_serving
+
+                    variables = {"params": self._state.params,
+                                 "batch_stats": self._state.batch_stats}
+                    calib = self._calib if self._calib is not None else [images]
+                    calib = [jnp.asarray(b, jnp.bfloat16) for b in
+                             (calib if isinstance(calib, (list, tuple)) else [calib])]
+                    qfn, self.n_quantized = quantize_for_serving(
+                        model, variables, calib)
+                    self._int8_fn = jax.jit(
+                        lambda im: postprocess(qfn(im.astype(jnp.bfloat16))))
+                    self._calib = None
+                return self._int8_fn(images)
+
+            self._forward = forward
+        elif freeze_weights:
             # Serving mode: bake the (folded) weights into the compiled
             # program as constants — XLA pre-layouts/constant-folds them.
             # Measured v5e batch 128 @ 256px: 16.8 -> 15.9 ms/step
