@@ -115,6 +115,14 @@ def resize_bilinear(
         and oh // h in (2, 4, 8)
     ):
         return _upsample_convt(x, oh // h)
+    # Measured dead end (do not re-ship without new in-context evidence): a
+    # joint kron(Mh, Mw) single-dot form for small grids (the decoder's
+    # align_corners=True 16->64 site) won ISOLATED — fwd+bwd 3.98 -> 2.79 ms
+    # (experiments/resize_ac_bench.py) against the profile's ~0.85 ms fwd
+    # convert copy + ~0.87 ms bwd transpose fusion — but regressed the FULL
+    # train step 69.4 -> 70.9/71.4 ms: in context XLA partially absorbs the
+    # pair's layout ops, while the joint dot adds ~13x FLOPs and its own f32
+    # output materialization.  Same pattern as round 2's layout-copy A/Bs.
     # f32 inputs (masks, parity-sensitive paths) use exact MXU passes; bf16
     # model activations keep the fast default precision.
     precision = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
