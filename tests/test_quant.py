@@ -73,6 +73,31 @@ def test_int8_forward_close_to_bf16(flagship):
     assert d.max() < 0.25 and d.mean() < 0.02  # logits; random-init net
 
 
+@pytest.mark.parametrize("name,kw,min_q", [
+    ("unet", {}, 6),
+    # max_channels=64 truncates VGG19 to convs 0-1 + a small decoder
+    # (reference truncation rule), so only a handful of plain convs remain;
+    # the fused NearestUpConcatConv decoder entries stay bf16 by design.
+    ("vgg_unet", {"max_channels": 64}, 3),
+])
+def test_int8_covers_other_zoo_members(name, kw, min_q):
+    """The interception-based calibration claims zoo-wide coverage without
+    per-model code — verify on two non-flagship families: plain nn.Convs
+    quantize, custom fused modules (NearestUpConcatConv) skip cleanly."""
+    model = build_model(name=name, num_classes=3, **kw)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, 64, 64, 3), make_optimizer())
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.bfloat16)
+    qfn, n = quantize_for_serving(model, variables, [x])
+    assert n >= min_q
+    out_q = np.asarray(jax.jit(qfn)(x), np.float32)
+    out_bf = np.asarray(model.apply(variables, x, train=False), np.float32)
+    assert out_q.shape == out_bf.shape
+    assert np.abs(out_q - out_bf).max() < 0.5  # random-init logits
+
+
 def test_predictor_int8_lazy_calibration_matches_bf16(flagship):
     from ecologysemanticsegmentation_tpu.predict import Predictor
 
