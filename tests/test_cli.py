@@ -185,6 +185,31 @@ def test_video_cli(trained_dir, tmp_path):
     assert (tmp_path / "out.mp4").stat().st_size > 0
 
 
+def test_video_cli_int8(trained_dir, tmp_path):
+    """--int8 serves frames through the quantized Predictor (quant.py)."""
+    import cv2
+
+    video_path = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"), 5, (64, 64))
+    rng = np.random.RandomState(1)
+    for _ in range(5):
+        w.write(rng.randint(0, 255, (64, 64, 3), np.uint8))
+    w.release()
+
+    ckpt_dir = os.path.join(trained_dir, "models", "clitest", "channels256", "img48")
+    ckpt = os.path.join(ckpt_dir, sorted(os.listdir(ckpt_dir))[-1])
+    result_dir = str(tmp_path / "out")
+    r = run_cli(
+        "ecologysemanticsegmentation_tpu.test_video",
+        ["--model_path", ckpt, "--video_path", video_path,
+         "--result_dir", result_dir, "--batch_size", "4", "--int8"],
+        cwd=str(tmp_path), env_extra=ENV,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    outs = os.listdir(result_dir)
+    assert len([f for f in outs if f.startswith("output_frame_")]) == 5
+
+
 def test_bench_emits_json_line(tmp_path):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
