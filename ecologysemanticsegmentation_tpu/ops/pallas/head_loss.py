@@ -137,6 +137,64 @@ def _bwd_kernel(x_ref, g_ref, w_ref, mh_ref, mwc_ref, mhT_ref, mwcT_ref, dx_ref)
         dx_ref[b] = dx.astype(dx_ref.dtype)
 
 
+def _fwd_kernel_rows(x_ref, g_ref, mh_ref, mwc_ref, o_ref):
+    """Row-blocked fwd: grid (B, H//Hb); the (Hb, h) slice of the row
+    interpolation matrix selects this block's output rows, so the labels
+    tile shrinks to Hb rows and IMGSIZE >= 512 fits VMEM."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init():
+        o_ref[:, :] = jnp.zeros_like(o_ref)
+
+    x = x_ref[0].astype(jnp.float32)                              # (h, w*C)
+    u = jnp.dot(mh_ref[...], x, preferred_element_type=jnp.float32)
+    u = jnp.dot(u, mwc_ref[...], preferred_element_type=jnp.float32)
+    p = jax.nn.sigmoid(u)
+    g = g_ref[0].astype(jnp.float32)
+    o_ref[:, :] += _elementwise_sums(p, g)
+
+
+def _bwd_kernel_rows(x_ref, g_ref, w_ref, mh_ref, mwc_ref, dx_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dx_ref[0] = jnp.zeros_like(dx_ref[0])
+
+    mh = mh_ref[...]          # (Hb, h) block rows
+    mwc = mwc_ref[...]        # (w*C, W*C) — also used transposed via
+    w = w_ref[:, :]           # dot_general so no mhT/mwcT operands (they
+                              # would double the irreducible VMEM share)
+
+    x = x_ref[0].astype(jnp.float32)
+    u = jnp.dot(mh, x, preferred_element_type=jnp.float32)
+    u = jnp.dot(u, mwc, preferred_element_type=jnp.float32)
+    p = jax.nn.sigmoid(u)
+    g = g_ref[0].astype(jnp.float32)
+    one_m_p = 1.0 - p
+    dp = (
+        w[1]
+        + w[2] * 2.0 * p
+        + w[3] * g
+        + w[4] * (one_m_p * jnp.sqrt(one_m_p) / (p + EPS)
+                  - GAMMA * jnp.sqrt(one_m_p) * jnp.log(p + EPS))
+        + w[5] * (GAMMA * jnp.sqrt(p) * jnp.log(one_m_p + EPS)
+                  - p * jnp.sqrt(p) / (one_m_p + EPS))
+        + w[6] * ((p > 0).astype(jnp.float32)
+                  - jnp.sign(p) / (1.0 + jnp.exp(jnp.abs(p))))
+    )
+    du = dp * p * one_m_p                                         # (Hb, W*C)
+    dz = jax.lax.dot_general(                                     # du @ mwc^T
+        du, mwc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                       # (Hb, w*C)
+    dx = jax.lax.dot_general(                                     # mh^T @ dz
+        mh, dz, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                       # (h, w*C)
+    dx_ref[0] += dx.astype(dx_ref.dtype)
+
+
 def head_sums_reference(logits_lr: jax.Array, labels: jax.Array,
                         align_corners: bool = True) -> jax.Array:
     """Pure-jnp reference: f32 upsample + sigmoid + the (8, C) sums."""
@@ -147,6 +205,84 @@ def head_sums_reference(logits_lr: jax.Array, labels: jax.Array,
     p = jax.nn.sigmoid(up)
     c = p.shape[-1]
     return _sums_reference(p.reshape(-1, c).T, labels.reshape(-1, c).T)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_fused_rows(shape_lr, shape_hr, align_corners: bool, interpret: bool,
+                     row_block: int):
+    """Row-blocked build for large images: grid (B, H//row_block); the
+    labels stream through VMEM ``row_block`` rows at a time while the tiny
+    low-res logits stay resident.  Same custom-VJP contract as
+    :func:`_make_fused`."""
+    B, h, w, C = shape_lr
+    _, H, W, _ = shape_hr
+    mh, mwc = _upsample_mats(h, w, H, W, C, align_corners)
+    nb = H // row_block
+
+    def _full(a):
+        return pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    def _fwd(logits, labels):
+        x = logits.reshape(B, h, w * C)
+        g = labels.reshape(B, H, W * C)
+        out = pl.pallas_call(
+            _fwd_kernel_rows,
+            grid=(B, nb),
+            in_specs=[
+                pl.BlockSpec((1, h, w * C), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, row_block, W * C), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((row_block, h), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                _full(mwc),
+            ],
+            out_specs=pl.BlockSpec((NUM_SUMS, W * C), lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((NUM_SUMS, W * C), jnp.float32),
+            interpret=interpret,
+        )(x, g, jnp.asarray(mh), jnp.asarray(mwc))
+        sums = out.reshape(NUM_SUMS, W, C).sum(axis=1)
+        return sums.at[7].set(float(B * H * W))
+
+    def _bwd(logits, labels, cot):
+        x = logits.reshape(B, h, w * C)
+        g = labels.reshape(B, H, W * C)
+        wline = jnp.tile(cot.astype(jnp.float32), (1, W))
+        dx = pl.pallas_call(
+            _bwd_kernel_rows,
+            grid=(B, nb),
+            in_specs=[
+                pl.BlockSpec((1, h, w * C), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, row_block, W * C), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                _full(wline),
+                pl.BlockSpec((row_block, h), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                _full(mwc),
+            ],
+            out_specs=pl.BlockSpec((1, h, w * C), lambda i, j: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, h, w * C), logits.dtype),
+            interpret=interpret,
+        )(x, g, wline, jnp.asarray(mh), jnp.asarray(mwc))
+        return dx.reshape(B, h, w, C)
+
+    @jax.custom_vjp
+    def fused(logits, labels):
+        return _fwd(logits, labels)
+
+    def fused_fwd(logits, labels):
+        return _fwd(logits, labels), (logits, labels)
+
+    def fused_bwd(res, cot):
+        logits, labels = res
+        return _bwd(logits, labels, cot), jnp.zeros_like(labels)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
 
 
 @functools.lru_cache(maxsize=8)
@@ -260,25 +396,42 @@ def fused_head_loss_sums(
     assert logits_lr.shape[-1] == labels.shape[-1]
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
+    row_block = None
     if use_pallas:
         # Even at bb=1 the kernel must hold one label item, one logit item,
         # the two interpolation operands and the (8, W*C) accumulator in
-        # VMEM (~16 MB).  Oversized configs (e.g. H=W>=1024 with C=3)
-        # degrade gracefully to the jnp reference instead of failing at
-        # compile time.
+        # VMEM (~16 MB).  Oversized configs (IMGSIZE >= 512 with C=3) fall
+        # to the ROW-BLOCKED kernels (grid (B, H//Hb): labels stream Hb
+        # rows at a time, the row matrix is block-sliced); only when even
+        # the blocked operands don't fit (the (w*C, W*C) column operand is
+        # irreducible — IMGSIZE ~2048+) degrade to the jnp reference.
         B, h, w, C = logits_lr.shape
         _, H, W, _ = labels.shape
-        vmem_floor = (
-            H * W * C * 4            # one label item (f32 in-kernel)
-            + h * w * C * 4          # one logit item
-            + (w * C) * (W * C) * 4  # column interpolation operand
-            + H * h * 4              # row interpolation operand
-            + NUM_SUMS * W * C * 4   # accumulator
+        # the single-tile path's bwd also holds the transposed operands
+        fixed = (
+            h * w * C * 4                # one logit item
+            + (w * C) * (W * C) * 4      # column interpolation operand
+            + NUM_SUMS * W * C * 4       # accumulator / cotangent line
         )
-        if vmem_floor > 12 * 2**20:
-            use_pallas = False
+        budget = 12 * 2**20
+        single = (fixed + (w * C) * (W * C) * 4  # mwcT in the unblocked bwd
+                  + H * W * C * 4 + 2 * H * h * 4)
+        if single > budget:
+            # row-blocked kernels: labels stream Hb rows at a time and the
+            # bwd reuses mh/mwc via dot_general (no transposed operands)
+            for hb in (256, 128, 64, 32):
+                if H % hb == 0 and hb < H and (
+                        fixed + hb * W * C * 4 + hb * h * 4 <= budget):
+                    row_block = hb
+                    break
+            else:
+                use_pallas = False
     if not use_pallas:
         return head_sums_reference(logits_lr, labels, align_corners)
-    fused = _make_fused(tuple(logits_lr.shape), tuple(labels.shape),
-                        bool(align_corners), bool(interpret))
+    if row_block is not None:
+        fused = _make_fused_rows(tuple(logits_lr.shape), tuple(labels.shape),
+                                 bool(align_corners), bool(interpret), row_block)
+    else:
+        fused = _make_fused(tuple(logits_lr.shape), tuple(labels.shape),
+                            bool(align_corners), bool(interpret))
     return fused(logits_lr, labels)

@@ -59,6 +59,42 @@ def test_fused_gradients_match_autodiff(rng):
                                rtol=5e-4, atol=5e-5)
 
 
+def test_fused_row_blocked_large_image(rng):
+    """Large images (IMGSIZE ~768-1024 @ C=3) exceed the single-tile VMEM
+    guard and must take the row-blocked kernels (grid (B, H//Hb)) — fwd and
+    bwd both match the reference.  Exercises the real dispatcher guard at
+    (1, 256, 256, 3) logits -> (1, 1024, 1024, 3) labels (picks Hb=64)."""
+    from ecologysemanticsegmentation_tpu.ops.pallas import head_loss as hl
+
+    logits, labels = _case(rng, b=1, h=256, w=256, scale=4)
+    B, h, w, C = logits.shape
+    _, H, W, _ = labels.shape
+    fixed = (h * w * C * 4 + (w * C) * (W * C) * 4
+             + hl.NUM_SUMS * W * C * 4)
+    single = (fixed + (w * C) * (W * C) * 4 + H * W * C * 4 + 2 * H * h * 4)
+    assert single > 12 * 2**20          # must NOT take the single-tile path
+    assert fixed + 64 * W * C * 4 + 64 * h * 4 <= 12 * 2**20  # Hb=64 fits
+
+    got = fused_head_loss_sums(logits, labels, use_pallas=True, interpret=True)
+    want = head_sums_reference(logits, labels)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-3)
+
+    wts = jnp.asarray(rng.randn(8, 3), jnp.float32)
+
+    def scal_fused(lg):
+        return jnp.sum(wts * fused_head_loss_sums(
+            lg, labels, use_pallas=True, interpret=True))
+
+    def scal_ref(lg):
+        return jnp.sum(wts * head_sums_reference(lg, labels))
+
+    g_fused = jax.grad(scal_fused)(logits)
+    g_ref = jax.grad(scal_ref)(logits)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=5e-4, atol=5e-5)
+
+
 def test_seven_losses_lowres_matches_fullres(rng):
     from ecologysemanticsegmentation_tpu.losses import (
         seven_losses,
