@@ -19,6 +19,26 @@ from __future__ import annotations
 import numpy as np
 
 
+def _resize_bilinear_np(im: np.ndarray, size: int) -> np.ndarray:
+    """cv2.resize(..., INTER_LINEAR) with a PIL fallback, so the serving
+    entry point works in environments without OpenCV (ROADMAP portability
+    item; the data loaders still require cv2 — serving does not)."""
+    try:
+        import cv2
+
+        return cv2.resize(im, (size, size))
+    except ImportError:
+        from PIL import Image
+
+        arr = np.asarray(im, np.float32)
+        chans = [
+            np.asarray(Image.fromarray(arr[..., c]).resize(
+                (size, size), Image.BILINEAR))
+            for c in range(arr.shape[-1])
+        ]
+        return np.stack(chans, axis=-1)
+
+
 class Predictor:
     """Compile-once batched inference over a trained checkpoint."""
 
@@ -123,8 +143,6 @@ class Predictor:
         return cls(model, state, img_size=img_size, batch_size=batch_size, **kw)
 
     def _prepare(self, images: np.ndarray) -> np.ndarray:
-        import cv2
-
         images = np.asarray(images)
         if images.ndim == 3:
             images = images[None]
@@ -132,8 +150,7 @@ class Predictor:
             images = images.astype(np.float32) / 255.0
         if images.shape[1:3] != (self.img_size, self.img_size):
             images = np.stack(
-                [cv2.resize(im, (self.img_size, self.img_size)) for im in images]
-            )
+                [_resize_bilinear_np(im, self.img_size) for im in images])
         return images.astype(np.float32)
 
     def __call__(self, images: np.ndarray) -> np.ndarray:

@@ -74,3 +74,25 @@ def test_predictor_fold_bn_matches_unfolded(tmp_path, rng):
     assert folded.n_folded_bns > 0
     # bf16 compute: folding changes rounding, not semantics
     np.testing.assert_allclose(folded(x), plain(x), atol=0.02)
+
+
+def test_resize_pil_fallback_matches_cv2(monkeypatch, rng):
+    """Serving must work without OpenCV: the PIL resize fallback is
+    numerically identical to cv2.resize (same half-pixel convention)."""
+    import builtins
+
+    from ecologysemanticsegmentation_tpu.predict import _resize_bilinear_np
+
+    im = rng.rand(48, 40, 3).astype(np.float32)
+    want = _resize_bilinear_np(im, 64)  # cv2 path
+
+    real_import = builtins.__import__
+
+    def no_cv2(name, *a, **k):
+        if name == "cv2":
+            raise ImportError("cv2 disabled for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_cv2)
+    got = _resize_bilinear_np(im, 64)  # PIL path
+    np.testing.assert_allclose(got, want, atol=1e-6)
