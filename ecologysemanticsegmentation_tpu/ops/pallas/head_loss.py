@@ -48,20 +48,51 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..resize import _interp_matrix
+from ..resize import _DEVICE_OPERAND_ELEMS, _interp_matrix, _interp_matrix_device
 from .loss_sums import EPS, GAMMA, NUM_SUMS, _sums_reference
 
 
 def _upsample_mats(h: int, w: int, H: int, W: int, c: int, align_corners: bool):
-    """Constant operands: (H, h) row matrix and (w*c, W*c) channel-block
-    column matrix such that ``U[n] = Mh @ X[n] @ Mwc`` upsamples an NHWC
-    item flattened to (h, w*c) -> (H, W*c)."""
-    mh = _interp_matrix(H, h, align_corners)  # (H, h)
-    mw = _interp_matrix(W, w, align_corners)  # (W, w)
-    mwc = np.zeros((w * c, W * c), np.float32)
-    for ch in range(c):
-        mwc[ch::c, ch::c] = mw.T
+    """Interpolation operands: (H, h) row matrix and (w*c, W*c)
+    channel-block column matrix such that ``U[n] = Mh @ X[n] @ Mwc``
+    upsamples an NHWC item flattened to (h, w*c) -> (H, W*c).
+
+    Below :data:`..resize._DEVICE_OPERAND_ELEMS` these are host numpy,
+    baked in as compile-time constants (byte-identical programs for the
+    benched 256px configs).  Above it (IMGSIZE >= ~724 @ x4) they are
+    built on device from iota — MUST be called inside the traced fwd/bwd
+    so large-image programs don't carry multi-MB HLO constants (the
+    512px remote-compile incident, RESULTS round 3) — and use the exact
+    construction :func:`...ops.resize.resize_bilinear` selects at the
+    same size, so ``head_sums_reference`` parity holds bitwise in the
+    operand weights."""
+    if H * h >= _DEVICE_OPERAND_ELEMS:
+        mh = _interp_matrix_device(H, h, align_corners)  # (H, h) on device
+    else:
+        mh = _interp_matrix(H, h, align_corners)
+    if W * w >= _DEVICE_OPERAND_ELEMS:
+        mwc = jnp.kron(_interp_matrix_device(W, w, align_corners).T,
+                       jnp.eye(c, dtype=jnp.float32))
+    elif (w * c) * (W * c) >= 4 * _DEVICE_OPERAND_ELEMS:
+        # mw itself stays a baked constant (bitwise the host form that
+        # resize_bilinear selects at this size) but its c^2-fold
+        # channel-block expansion is built on device: at 512px C=3 this
+        # replaces a 2.3 MB HLO constant with a 260 KB one + a kron.
+        # The 4x-higher threshold keeps the benched 256px expansion
+        # (192x768 = 576 KB) baked — identical compiled programs there.
+        mwc = jnp.kron(jnp.asarray(_interp_matrix(W, w, align_corners).T),
+                       jnp.eye(c, dtype=jnp.float32))
+    else:
+        mw = _interp_matrix(W, w, align_corners)  # (W, w)
+        mwc = np.zeros((w * c, W * c), np.float32)
+        for ch in range(c):
+            mwc[ch::c, ch::c] = mw.T
     return mh, mwc
+
+
+def _transposed(m):
+    """Contiguous transpose; stays host-side for host constants."""
+    return np.ascontiguousarray(m.T) if isinstance(m, np.ndarray) else m.T
 
 
 def _elementwise_sums(p: jax.Array, g: jax.Array) -> jax.Array:
@@ -216,14 +247,16 @@ def _make_fused_rows(shape_lr, shape_hr, align_corners: bool, interpret: bool,
     :func:`_make_fused`."""
     B, h, w, C = shape_lr
     _, H, W, _ = shape_hr
-    mh, mwc = _upsample_mats(h, w, H, W, C, align_corners)
     nb = H // row_block
 
-    def _full(a):
-        return pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+    def _full(shape):
+        return pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     def _fwd(logits, labels):
+        # Built inside the trace: above the constant threshold the
+        # operands are device iota programs, not baked HLO constants.
+        mh, mwc = _upsample_mats(h, w, H, W, C, align_corners)
         x = logits.reshape(B, h, w * C)
         g = labels.reshape(B, H, W * C)
         out = pl.pallas_call(
@@ -236,7 +269,7 @@ def _make_fused_rows(shape_lr, shape_hr, align_corners: bool, interpret: bool,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((row_block, h), lambda i, j: (j, 0),
                              memory_space=pltpu.VMEM),
-                _full(mwc),
+                _full((w * C, W * C)),
             ],
             out_specs=pl.BlockSpec((NUM_SUMS, W * C), lambda i, j: (0, 0),
                                    memory_space=pltpu.VMEM),
@@ -247,6 +280,7 @@ def _make_fused_rows(shape_lr, shape_hr, align_corners: bool, interpret: bool,
         return sums.at[7].set(float(B * H * W))
 
     def _bwd(logits, labels, cot):
+        mh, mwc = _upsample_mats(h, w, H, W, C, align_corners)
         x = logits.reshape(B, h, w * C)
         g = labels.reshape(B, H, W * C)
         wline = jnp.tile(cot.astype(jnp.float32), (1, W))
@@ -258,10 +292,10 @@ def _make_fused_rows(shape_lr, shape_hr, align_corners: bool, interpret: bool,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, row_block, W * C), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
-                _full(wline),
+                _full((NUM_SUMS, W * C)),
                 pl.BlockSpec((row_block, h), lambda i, j: (j, 0),
                              memory_space=pltpu.VMEM),
-                _full(mwc),
+                _full((w * C, W * C)),
             ],
             out_specs=pl.BlockSpec((1, h, w * C), lambda i, j: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -294,9 +328,6 @@ def _make_fused(shape_lr, shape_hr, align_corners: bool, interpret: bool):
     """
     B, h, w, C = shape_lr
     _, H, W, _ = shape_hr
-    mh, mwc = _upsample_mats(h, w, H, W, C, align_corners)
-    mhT = np.ascontiguousarray(mh.T)
-    mwcT = np.ascontiguousarray(mwc.T)
 
     # Batch tile: largest power of two <= 8 dividing B, bounded by VMEM
     # (labels tile bb*H*W*C*4B must stay well under the ~16 MB budget).
@@ -307,10 +338,11 @@ def _make_fused(shape_lr, shape_hr, align_corners: bool, interpret: bool):
             break
     grid = B // bb
 
-    def _full(a):  # operand broadcast to every grid step
-        return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    def _full(shape):  # operand broadcast to every grid step
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     def _fwd(logits, labels):
+        mh, mwc = _upsample_mats(h, w, H, W, C, align_corners)
         x = logits.reshape(B, h, w * C)
         g = labels.reshape(B, H, W * C)
         out = pl.pallas_call(
@@ -321,8 +353,8 @@ def _make_fused(shape_lr, shape_hr, align_corners: bool, interpret: bool):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bb, H, W * C), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                _full(mh),
-                _full(mwc),
+                _full((H, h)),
+                _full((w * C, W * C)),
             ],
             out_specs=pl.BlockSpec((NUM_SUMS, W * C), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM),
@@ -334,6 +366,8 @@ def _make_fused(shape_lr, shape_hr, align_corners: bool, interpret: bool):
         return sums.at[7].set(float(B * H * W))
 
     def _bwd(logits, labels, cot):
+        mh, mwc = _upsample_mats(h, w, H, W, C, align_corners)
+        mhT, mwcT = _transposed(mh), _transposed(mwc)
         x = logits.reshape(B, h, w * C)
         g = labels.reshape(B, H, W * C)
         wline = jnp.tile(cot.astype(jnp.float32), (1, W))  # (8, W*C)
@@ -345,11 +379,11 @@ def _make_fused(shape_lr, shape_hr, align_corners: bool, interpret: bool):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bb, H, W * C), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                _full(wline),
-                _full(mh),
-                _full(mwc),
-                _full(mhT),
-                _full(mwcT),
+                _full((NUM_SUMS, W * C)),
+                _full((H, h)),
+                _full((w * C, W * C)),
+                _full((h, H)),
+                _full((W * C, w * C)),
             ],
             out_specs=pl.BlockSpec((bb, h, w * C), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),

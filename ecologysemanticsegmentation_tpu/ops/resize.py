@@ -94,6 +94,39 @@ def _upsample_convt(x: jax.Array, factor: int) -> jax.Array:
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
 
 
+def _interp_matrix_device(out_size: int, in_size: int,
+                          align_corners: bool) -> jax.Array:
+    """The bilinear matrix built from iota on device: each row has the
+    two-tap weights ``(1-w, w)`` at ``floor(src), floor(src)+1``, which is
+    exactly ``relu(1 - |src_o - i|)`` (border clamp included).  No inline
+    constant: at 512px the augmentation's zoom-blur pyramid otherwise bakes
+    8 banded matrices of ~2 MB each into the HLO (~16 MB of constants —
+    the payload implicated in the 512px remote-compile blowup, RESULTS
+    round 3 incident note)."""
+    o = jax.lax.broadcasted_iota(jnp.float32, (out_size, in_size), 0)
+    i = jax.lax.broadcasted_iota(jnp.float32, (out_size, in_size), 1)
+    if align_corners and out_size > 1:
+        src = o * ((in_size - 1) / max(out_size - 1, 1))
+    else:
+        src = (o + 0.5) * (in_size / out_size) - 0.5
+    src = jnp.clip(src, 0.0, float(in_size - 1))
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src - i))
+
+
+# Above this element count the interpolation operand is built on device
+# instead of baked as a constant.  2^17 elements (512 KB f32) keeps every
+# 256px-config operand (decoder 64x16, zoom-blur 256x~233) as constants —
+# identical compiled programs for the benched shapes — while the 512px+
+# zoom-blur matrices (512x~465 = 238k elements) switch to the iota form.
+_DEVICE_OPERAND_ELEMS = 1 << 17
+
+
+def _interp_operand(out_size: int, in_size: int, align_corners: bool):
+    if out_size * in_size >= _DEVICE_OPERAND_ELEMS:
+        return _interp_matrix_device(out_size, in_size, align_corners)
+    return jnp.asarray(_interp_matrix(out_size, in_size, align_corners))
+
+
 def resize_bilinear(
     x: jax.Array, out_hw: tuple[int, int], align_corners: bool = False
 ) -> jax.Array:
@@ -126,8 +159,8 @@ def resize_bilinear(
     # f32 inputs (masks, parity-sensitive paths) use exact MXU passes; bf16
     # model activations keep the fast default precision.
     precision = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
-    mh = jnp.asarray(_interp_matrix(oh, h, align_corners))
-    mw = jnp.asarray(_interp_matrix(ow, w, align_corners))
+    mh = _interp_operand(oh, h, align_corners)
+    mw = _interp_operand(ow, w, align_corners)
     y = jnp.einsum(
         "oh,nhwc->nowc", mh, x, preferred_element_type=jnp.float32, precision=precision
     )
