@@ -40,12 +40,15 @@ def build_model(
     depthwise: bool = False,
     deepsupervision: bool = False,
     upsample_head: bool = True,
+    remat: bool = False,
     dtype=jnp.bfloat16,
 ):
     """Factory over the zoo.  ``depthwise`` mirrors the ``--depthwiseconv``
     CLI flag (reference sequential trainer).  ``upsample_head=False`` makes
     DeepLabV3+ emit 1/4-resolution logits for the fused head-loss kernel
-    (parameters are unchanged; checkpoints are interchangeable)."""
+    (parameters are unchanged; checkpoints are interchangeable).  ``remat``
+    enables the VGG U-Net's per-stage rematerialization (numerically
+    identical; checkpoints are interchangeable)."""
     if depthwise or name == "deeplabv3plus_depthwise":
         return DeepLabV3PlusDepthwise(
             num_classes=num_classes, encoder_name=encoder_name, dtype=dtype
@@ -60,7 +63,7 @@ def build_model(
     if name == "vgg_unet":
         return VGGUNet(
             num_classes=num_classes, max_channels=max_channels,
-            deepsupervision=deepsupervision, dtype=dtype,
+            deepsupervision=deepsupervision, remat=remat, dtype=dtype,
         )
     if name == "efficientnet_v2s_unet":
         return EfficientNetV2SUNet(num_classes=num_classes, dtype=dtype)

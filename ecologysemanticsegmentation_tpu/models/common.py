@@ -7,6 +7,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -42,6 +43,10 @@ class StochasticDropout(nn.Module):
         thresh = jnp.uint16(min(round(keep * 65536), 65535))
         bits = jax.random.bits(rbg, x.shape, jnp.uint16)
         noise = (bits < thresh).astype(x.dtype) / keep
+        # Inert outside a remat region: under the VGG U-Net's per-stage
+        # remat policy this keeps the mask as a saved residual (regenerating
+        # it in the backward replay would double the measured RNG cost).
+        noise = checkpoint_name(noise, "sd_mask")
         return x * noise
 
 

@@ -28,6 +28,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from .common import (
     NearestUpConcatConv,
@@ -38,12 +39,15 @@ from .common import (
 
 Dtype = Any
 
-# NOTE a save-only-conv-outputs rematerialization policy over the encoder and
-# decoder (nn.remat + checkpoint_name tags) was tried and REJECTED: the
-# backward replay of a whole region holds its recompute temporaries alongside
-# the saved set, and HBM use grew from <15.75G to 20.4G (compile-time OOM) at
-# the flagship batch 128 @ 256px config (RESULTS.md round 3,
-# experiments/vgg_remat_oom.log).  Don't retry without finer granularity.
+# Rematerialization (the ``remat`` option): a save-only-conv-outputs policy
+# over the WHOLE encoder+decoder was tried and REJECTED — the backward replay
+# of a whole region holds its recompute temporaries alongside the saved set,
+# and HBM use grew from <15.75G to 20.4G (compile-time OOM) at batch 128 @
+# 256px (RESULTS.md round 3, experiments/vgg_remat_oom.log).  ``remat=True``
+# instead wraps each encoder pool-stage and each decoder block in its OWN
+# remat region (policy: save tagged conv outputs + dropout masks), bounding
+# the replay working set to one stage's temporaries while still dropping the
+# BN/LeakyReLU/ReLU intermediates from the residual set.
 
 # vgg19_bn configuration "E": conv widths with 'M' max-pools.
 VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
@@ -52,6 +56,28 @@ VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
 _DECODER_CHANNELS = [512, 512, 512, 512, 512, 256, 256, 128, 64]
 _DECODER_UPSAMPLE = [True, False, False, True, False, True, False, True, True]
 _BN = dict(momentum=0.9, epsilon=1e-5, param_dtype=jnp.float32)
+
+
+def _remat_policy():
+    """Residuals kept by a remat region: tagged conv outputs (the MXU work
+    that must not be recomputed) and dropout masks (RNG regenerate measured
+    8.7 ms per full-res mask); BN/activation intermediates are replayed."""
+    return jax.checkpoint_policies.save_only_these_names("vgg_conv", "sd_mask")
+
+
+def _encoder_stages() -> list[list[int]]:
+    """VGG19_CFG split at the max-pools: [[64,64],[128,128],[256]*4,[512]*4,[512]*4]."""
+    stages: list[list[int]] = []
+    cur: list[int] = []
+    for spec in VGG19_CFG:
+        if spec == "M":
+            stages.append(cur)
+            cur = []
+        else:
+            cur.append(int(spec))
+    if cur:
+        stages.append(cur)
+    return stages
 
 
 def _decoder_plan(max_channels: int) -> tuple[list[int], list[bool]]:
@@ -94,6 +120,7 @@ class DeconvNormActivation(nn.Module):
                     use_bias=self.use_bias, dtype=self.dtype,
                     param_dtype=jnp.float32, name=f"conv{i}",
                 )(x)
+            x = checkpoint_name(x, "vgg_conv")  # inert outside remat regions
             x = nn.BatchNorm(
                 use_running_average=not train, dtype=self.dtype, name=f"bn{i}", **_BN
             )(x)
@@ -109,6 +136,7 @@ class VGGUNetEncoder(nn.Module):
     max_channels: int = 512
     dropout_p: float = 0.05
     dropout_min_channels: int = 256
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -116,30 +144,45 @@ class VGGUNetEncoder(nn.Module):
         skips: list[jax.Array] = []
         dropout_flag = False
         conv_idx = 0
-        for spec in VGG19_CFG:
-            if spec == "M":
-                skips.append(x)
-                x = max_pool_2x2(x)
-                continue
-            width = int(spec)
-            if width > self.max_channels:
-                break  # truncation rule (reference vgg.py:121-127)
-            x = nn.Conv(
-                width, (3, 3), padding="SAME", use_bias=True,
-                dtype=self.dtype, param_dtype=jnp.float32, name=f"conv{conv_idx}",
-            )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, dtype=self.dtype,
-                name=f"bn{conv_idx}", **_BN,
-            )(x)
-            x = nn.relu(x)
-            if width >= self.dropout_min_channels:
+        for stage_widths in _encoder_stages():
+            if stage_widths[0] > self.max_channels:
+                break  # truncation rule (reference vgg.py:121-127); stage
+                # widths are uniform, so the per-conv break is stage-level
+
+            def stage(mdl: "VGGUNetEncoder", x: jax.Array,
+                      widths=tuple(stage_widths), idx0=conv_idx,
+                      flag0=dropout_flag) -> jax.Array:
+                flag = flag0
+                for k, width in enumerate(widths):
+                    x = nn.Conv(
+                        width, (3, 3), padding="SAME", use_bias=True,
+                        dtype=mdl.dtype, param_dtype=jnp.float32,
+                        name=f"conv{idx0 + k}",
+                    )(x)
+                    x = checkpoint_name(x, "vgg_conv")
+                    x = nn.BatchNorm(
+                        use_running_average=not train, dtype=mdl.dtype,
+                        name=f"bn{idx0 + k}", **_BN,
+                    )(x)
+                    x = nn.relu(x)
+                    if width >= mdl.dropout_min_channels:
+                        flag = True
+                    if flag and mdl.dropout_p != 0.0:
+                        x = StochasticDropout(
+                            mdl.dropout_p, name=f"dropout{idx0 + k}"
+                        )(x, deterministic=not train)
+                return x
+
+            # Per-stage remat (see module note): parameter paths are
+            # unchanged — the lifted function transform runs in this
+            # module's own scope.
+            run = nn.remat(stage, policy=_remat_policy()) if self.remat else stage
+            x = run(self, x)
+            conv_idx += len(stage_widths)
+            if any(w >= self.dropout_min_channels for w in stage_widths):
                 dropout_flag = True
-            if dropout_flag and self.dropout_p != 0.0:
-                x = StochasticDropout(self.dropout_p, name=f"dropout{conv_idx}")(
-                    x, deterministic=not train
-                )
-            conv_idx += 1
+            skips.append(x)
+            x = max_pool_2x2(x)
         return x, list(reversed(skips))
 
 
@@ -148,6 +191,7 @@ class VGGUNetDecoder(nn.Module):
     max_channels: int = 512
     dropout_p: float = 0.05
     dropout_min_channels: int = 256
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -157,6 +201,20 @@ class VGGUNetDecoder(nn.Module):
         channels, upsample = _decoder_plan(self.max_channels)
         ds_features: list[jax.Array] = []
         skip_idx = 0
+
+        def block(mdl: "VGGUNetDecoder", x, out_ch: int, kernel: int,
+                  nb: int, dp: float, use_bias: bool, name: str):
+            return DeconvNormActivation(
+                out_ch, kernel, num_blocks=nb, dropout_p=dp,
+                use_bias=use_bias, dtype=mdl.dtype, name=name,
+            )(x, train)
+
+        if self.remat:
+            # Per-block remat regions (see module note); out_ch/kernel/nb/
+            # dp/use_bias/name are Python-static block parameters.
+            block = nn.remat(block, policy=_remat_policy(),
+                             static_argnums=(2, 3, 4, 5, 6, 7))
+
         for idx in range(len(channels) - 1):
             out_ch = channels[idx + 1]
             if upsample[idx]:
@@ -168,19 +226,10 @@ class VGGUNetDecoder(nn.Module):
                 skip_idx += 1
             dp = self.dropout_p if self.dropout_min_channels <= out_ch else 0.0
             nb = 1 if idx == 0 and self.max_channels == 512 else 3
-            x = DeconvNormActivation(
-                out_ch, 3, num_blocks=nb, dropout_p=dp, dtype=self.dtype,
-                name=f"channel_block{idx}",
-            )(x, train)
+            x = block(self, x, out_ch, 3, nb, dp, False, f"channel_block{idx}")
             if idx != 0:
-                x = DeconvNormActivation(
-                    out_ch, 1, num_blocks=2, dropout_p=dp, dtype=self.dtype,
-                    name=f"conv_block{idx}",
-                )(x, train)
-        x = DeconvNormActivation(
-            self.num_classes, 1, num_blocks=1, dropout_p=0.0, use_bias=True,
-            dtype=self.dtype, name="final_conv",
-        )(x, train)
+                x = block(self, x, out_ch, 1, 2, dp, False, f"conv_block{idx}")
+        x = block(self, x, self.num_classes, 1, 1, 0.0, True, "final_conv")
         return x, ds_features
 
 
@@ -190,17 +239,19 @@ class VGGUNet(nn.Module):
     dropout_p: float = 0.05
     dropout_min_channels: int = 256
     deepsupervision: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         y, skips = VGGUNetEncoder(
             self.max_channels, self.dropout_p, self.dropout_min_channels,
-            dtype=self.dtype, name="encoder",
+            remat=self.remat, dtype=self.dtype, name="encoder",
         )(x, train)
         y, ds = VGGUNetDecoder(
             self.num_classes, self.max_channels, self.dropout_p,
-            self.dropout_min_channels, dtype=self.dtype, name="decoder",
+            self.dropout_min_channels, remat=self.remat, dtype=self.dtype,
+            name="decoder",
         )(y, skips, train)
         y = y.astype(jnp.float32)
         if self.deepsupervision:

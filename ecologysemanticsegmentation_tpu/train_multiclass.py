@@ -67,6 +67,10 @@ def build_argparser() -> argparse.ArgumentParser:
                          "into the fused loss kernel (on by default for "
                          "multi-organ deeplabv3plus; parameters and "
                          "checkpoints are identical either way)")
+    ap.add_argument("--remat", action="store_true",
+                    help="Per-stage rematerialization for vgg_unet (trades "
+                         "recompute for HBM activation traffic; numerics "
+                         "and checkpoints unchanged)")
     return ap
 
 
@@ -138,7 +142,7 @@ def train(args=None):
     model = build_model(
         model_name, num_classes=cfg.num_classes, encoder_name=args.encoder,
         max_channels=cfg.max_channels, deepsupervision=args.deepsupervision,
-        upsample_head=not lowres,
+        upsample_head=not lowres, remat=getattr(args, "remat", False),
     )
     eval_model = model if not lowres else build_model(
         model_name, num_classes=cfg.num_classes, encoder_name=args.encoder,
