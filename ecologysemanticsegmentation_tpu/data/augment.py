@@ -48,7 +48,10 @@ SURVEY.md §7): fog uses a low-frequency noise field instead of rasterized
 circles; CLAHE is clip-limited *global* (not tile-adaptive) equalization —
 ``AUGMENT_TILED_CLAHE=1`` swaps in the cv2-semantics 8x8-tile form
 (:func:`_clahe_tiled`, Pallas apply kernel, +0.9 ms/step measured); tone
-curve is a single-control-point quadratic Bezier.
+curve is a single-control-point quadratic Bezier.  Parameter granularity is
+per-BATCH by default (A/B'd quality-equivalent, RESULTS.md round 3);
+``AUGMENT_PER_SAMPLE=1`` selects :func:`augment_batch_per_sample` — the
+reference's per-sample granularity with the same op math.
 """
 
 from __future__ import annotations
@@ -599,3 +602,34 @@ def augment_sample(key: jax.Array, img: jax.Array, mask: jax.Array):
     """Single-sample convenience wrapper (HWC in, HWC f32 out)."""
     imgs, masks = augment_batch(key, img[None], mask[None])
     return imgs[0].astype(jnp.float32), masks[0].astype(jnp.float32)
+
+
+@jax.jit
+def augment_batch_per_sample(key: jax.Array, images: jax.Array, masks: jax.Array):
+    """:func:`augment_batch` with PER-SAMPLE parameter granularity — the
+    reference's semantics (``dataset/augment.py:22-90`` draws every gate and
+    geometric parameter per sample).
+
+    Exactly the shipped op math vmapped over singleton batches with one
+    fresh key per sample: sample ``i``'s output is bit-identical to
+    ``augment_batch(split(key, B)[i], images[i:i+1], masks[i:i+1])``
+    (tests/test_augment_parity.py).  Under vmap the batch-level
+    ``lax.cond`` gates (crop/rotate/flip) become selects, so every step
+    pays the warp gathers — measurably slower than the batch-uniform
+    default, whose quality was A/B'd as equivalent (RESULTS.md round 3:
+    final-Dice delta flips sign across seeds, magnitude inside seed noise).
+    Selected in the trainers via ``AUGMENT_PER_SAMPLE=1`` (read at import
+    time, like ``AUGMENT_TILED_CLAHE``)."""
+    keys = jax.random.split(key, images.shape[0])
+
+    def one(k, im, mk):
+        im2, mk2 = augment_batch(k, im[None], mk[None])
+        return im2[0], mk2[0]
+
+    return jax.vmap(one)(keys, images, masks)
+
+
+# AUGMENT_PER_SAMPLE=1 makes the trainers draw augmentation parameters per
+# sample (reference granularity) instead of per batch.
+PER_SAMPLE = os.environ.get("AUGMENT_PER_SAMPLE", "0").lower() not in (
+    "0", "", "false")

@@ -26,7 +26,19 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..data.augment import augment_batch
+from ..data import augment as _augment
+from ..data.augment import augment_batch as _augment_batch_uniform
+from ..data.augment import augment_batch_per_sample
+
+# AUGMENT_PER_SAMPLE=1 selects the reference's per-sample parameter
+# granularity (slower: batch-level cond gates become selects under vmap);
+# default is the batch-uniform pipeline (quality A/B'd equivalent,
+# RESULTS.md round 3).  Module-level so experiments can monkeypatch
+# ``trainer.augment_batch`` (the patch must persist through the first
+# jitted CALL — trace time — not just make_train_step).
+augment_batch = (
+    augment_batch_per_sample if _augment.PER_SAMPLE else _augment_batch_uniform
+)
 from ..losses import (
     LOSS_NAMES,
     binary_cross_entropy,

@@ -181,3 +181,34 @@ def test_pipeline_marginal_rates(rng):
         changed += int(np.sum(np.abs(np.asarray(out) - imgs).max(axis=(1, 2, 3)) > 1e-3))
         total += 16
     assert changed / total > 0.85
+
+
+def test_per_sample_variant_matches_singleton_calls(rng):
+    """augment_batch_per_sample's definition: sample i == the shipped
+    pipeline run on the singleton batch [i] with key split(key, B)[i]."""
+    images = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    masks = jnp.asarray((rng.rand(4, 32, 32, 3) > 0.5).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    out_i, out_m = A.augment_batch_per_sample(key, images, masks)
+    keys = jax.random.split(key, 4)
+    for i in range(4):
+        ref_i, ref_m = A.augment_batch(keys[i], images[i:i + 1], masks[i:i + 1])
+        np.testing.assert_array_equal(np.asarray(out_i[i]), np.asarray(ref_i[0]))
+        np.testing.assert_array_equal(np.asarray(out_m[i]), np.asarray(ref_m[0]))
+
+
+def test_per_sample_env_flag_selects_trainer_augment(monkeypatch):
+    """AUGMENT_PER_SAMPLE=1 at import time routes the trainers to the
+    per-sample pipeline (module re-import; jit caches are keyed per
+    function object so the reload is isolated)."""
+    import importlib
+
+    from ecologysemanticsegmentation_tpu.data import augment as aug_mod
+
+    monkeypatch.setenv("AUGMENT_PER_SAMPLE", "1")
+    reloaded = importlib.reload(aug_mod)
+    try:
+        assert reloaded.PER_SAMPLE is True
+    finally:
+        monkeypatch.delenv("AUGMENT_PER_SAMPLE")
+        importlib.reload(aug_mod)
