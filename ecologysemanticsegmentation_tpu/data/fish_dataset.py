@@ -176,8 +176,7 @@ def _main():  # pragma: no cover - inspection entry
     import argparse
     import os
 
-    import cv2
-
+    from . import imops
     from ..config import EnvConfig
 
     ap = argparse.ArgumentParser()
@@ -203,12 +202,12 @@ def _main():  # pragma: no cover - inspection entry
     for i in range(min(args.limit, len(train))):
         img, seg, fname = train[i]
         seg_u = np.asarray(return_union_sets_descending_order(jnp.asarray(seg)[None]))[0]
-        cv2.imwrite(
+        imops.imwrite_bgr(
             os.path.join(args.out_dir, f"{i}_img.png"),
-            cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2BGR),
+            (img[..., ::-1] * 255).astype(np.uint8),
         )
         for c in range(seg_u.shape[-1]):
-            cv2.imwrite(
+            imops.imwrite_bgr(
                 os.path.join(args.out_dir, f"{i}_union_organ{c}.png"),
                 (np.clip(seg_u[..., c], 0, 1) * 255).astype(np.uint8),
             )

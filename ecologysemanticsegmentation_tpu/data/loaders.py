@@ -39,10 +39,9 @@ import warnings
 from dataclasses import dataclass
 from typing import Callable
 
-import cv2
 import numpy as np
 
-from . import native
+from . import imops, native
 
 SAMPLE_LIMIT = 60  # reference SAMPLE truncation (fish_coco_annotator.py:32-33)
 SAMPLE_LIMIT_FOLDERS = 20  # ml_training_set variant (fish_segmentation.py:159-160)
@@ -156,7 +155,7 @@ def _arw_preview_decode(path: str) -> np.ndarray | None:
         if best is None:
             return None
         jpg = np.frombuffer(buf, np.uint8, count=best[1], offset=best[0])
-        img = cv2.imdecode(jpg, cv2.IMREAD_COLOR)
+        img = imops.imdecode_bgr(jpg)
         return img  # BGR, as cv2.imread returns
     except Exception:
         return None
@@ -186,13 +185,13 @@ def _imread(path: str) -> np.ndarray | None:
             return None
         with rawpy.imread(path) as raw:
             rgb = raw.postprocess()
-        return cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)
-    img = cv2.imread(path)
+        return np.ascontiguousarray(rgb[..., ::-1])  # RGB -> BGR
+    img = imops.imread_bgr(path)
     return img
 
 
 def _resize(img: np.ndarray, size: int) -> np.ndarray:
-    return cv2.resize(img, (size, size))
+    return imops.resize_linear(img, (size, size))
 
 
 # ---------------------------------------------------------------- alvaradolab
@@ -239,7 +238,7 @@ def get_alvaradolab_data(
         txt_path = img_path[: -len(".jpg")] + ".txt"
         if not os.path.exists(txt_path):
             continue
-        probe = cv2.imread(img_path)
+        probe = imops.imread_bgr(img_path)
         if probe is None:
             continue
         oh, ow = probe.shape[:2]
@@ -262,7 +261,7 @@ def get_alvaradolab_data(
 
     def decode(i: int):
         img_path, polys = items[i]
-        image = _resize(cv2.imread(img_path), img_shape)
+        image = _resize(imops.imread_bgr(img_path), img_shape)
         mask = np.zeros((img_shape, img_shape, num_organs), np.float32)
         seen = set()
         for organ, poly in polys:
@@ -341,8 +340,8 @@ def get_ml_training_set_data(
             if seg is None:
                 continue
             seg = _resize(seg, img_shape)
-            seg = cv2.cvtColor(seg, cv2.COLOR_BGR2GRAY)
-            seg = cv2.bitwise_not(seg)
+            seg = imops.bgr2gray(seg)
+            seg = imops.invert_u8(seg)
             seg = np.where(seg > 0, 255, 0).astype(np.uint8)
             if seg.sum() / 255.0 < min_segment_positivity_ratio * img_shape * img_shape:
                 seg[:] = 0  # area threshold zero-fill (fish_segmentation.py:120-122)
@@ -380,7 +379,7 @@ def get_suim_data(
     for stem, entry in pairs.items():
         if entry["image"] is None or len(entry["segments"]) != 1:
             continue
-        if cv2.imread(entry["image"]) is None or cv2.imread(entry["segments"][0]) is None:
+        if imops.imread_bgr(entry["image"]) is None or imops.imread_bgr(entry["segments"][0]) is None:
             continue
         items.append((entry["image"], entry["segments"][0]))
     if sample_dataset:
@@ -388,11 +387,9 @@ def get_suim_data(
 
     def decode(i: int):
         image_path, seg_path = items[i]
-        image = _resize(cv2.imread(image_path), img_shape)
-        seg = cv2.imread(seg_path)
-        seg = cv2.inRange(
-            cv2.cvtColor(seg, cv2.COLOR_BGR2HSV), (20, 100, 100), (30, 255, 255)
-        )
+        image = _resize(imops.imread_bgr(image_path), img_shape)
+        seg = imops.imread_bgr(seg_path)
+        seg = imops.hsv_inrange_bgr(seg, (20, 100, 100), (30, 255, 255))
         seg = _resize(seg, img_shape)
         mask = (seg[..., None] / 255.0).astype(np.float32)
         return image.astype(np.float32) / 255.0, mask, image_path
@@ -435,7 +432,7 @@ def get_deepfish_segclsloc_data(
 
     def decode(i: int):
         img_path, ann_path = items[i]
-        raw = cv2.imread(img_path)
+        raw = imops.imread_bgr(img_path)
         image = _resize(raw, img_shape)
         seg = np.zeros(raw.shape[:2], np.uint8)
         with open(ann_path) as f:
@@ -447,7 +444,8 @@ def get_deepfish_segclsloc_data(
             ]
             pts = [p for p in pts if len(p) > 5]
             if pts:
-                cv2.fillPoly(seg, pts=pts, color=255)
+                for poly in pts:
+                    imops.fill_poly(seg, poly.reshape(-1, 2), 255)
         seg = _resize(seg, img_shape)
         mask = (seg[..., None] / 255.0).astype(np.float32)
         return image.astype(np.float32) / 255.0, mask, img_path

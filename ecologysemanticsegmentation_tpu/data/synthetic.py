@@ -19,9 +19,9 @@ from __future__ import annotations
 import json
 import os
 
-import cv2
 import numpy as np
 
+from . import imops
 from .loaders import IndexedDataset
 
 
@@ -41,29 +41,36 @@ def _draw_fish(rng: np.random.RandomState, size: int, n_organs: int):
 
     mask = np.zeros((size, size, n_organs), np.float32)
     body = np.zeros((size, size), np.uint8)
-    cv2.ellipse(body, (cx, cy), (ax, ay), angle, 0, 360, 255, -1)
+    imops.ellipse_filled(body, (cx, cy), (ax, ay), angle, 255)
     # tail fin triangle
     theta = np.deg2rad(angle)
     tx = int(cx - 1.2 * ax * np.cos(theta))
     ty = int(cy - 1.2 * ax * np.sin(theta))
     pts = np.array([[tx, ty], [cx - int(0.7 * ax * np.cos(theta)) - 6, cy - 8],
                     [cx - int(0.7 * ax * np.cos(theta)) + 6, cy + 8]], np.int32)
-    cv2.fillPoly(body, [pts], 255)
+    imops.fill_poly(body, pts, 255)
 
-    cv2.ellipse(img, (cx, cy), (ax, ay), angle, 0, 360, color, -1)
-    cv2.fillPoly(img, [pts], color)
+    imops.ellipse_filled(img, (cx, cy), (ax, ay), angle, color)
+    imops.fill_poly(img, pts, color)
     eye = (int(cx + 0.6 * ax * np.cos(theta)), int(cy + 0.6 * ax * np.sin(theta)))
-    cv2.circle(img, eye, max(2, ay // 4), (0, 0, 0), -1)
+    imops.circle_filled(img, eye, max(2, ay // 4), (0, 0, 0))
 
     mask[..., 0] = body / 255.0
     # nested sub-organs: successively smaller co-centered ellipses
     for oi in range(1, n_organs):
         sub = np.zeros((size, size), np.uint8)
         f = 1.0 - 0.3 * oi
-        cv2.ellipse(sub, (cx, cy), (max(int(ax * f), 2), max(int(ay * f), 2)),
-                    angle, 0, 360, 255, -1)
+        imops.ellipse_filled(sub, (cx, cy),
+                             (max(int(ax * f), 2), max(int(ay * f), 2)),
+                             angle, 255)
         mask[..., oi] = (sub / 255.0) * mask[..., oi - 1]  # enforce nesting
     return img, mask
+
+
+def _shoelace_area(pts: "np.ndarray") -> float:
+    """Polygon area (shoelace) — cv2.contourArea equivalent for int contours."""
+    x, y = pts[:, 0].astype(np.float64), pts[:, 1].astype(np.float64)
+    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
 
 
 def get_synthetic_data(
@@ -122,22 +129,22 @@ def materialize_to_disk(root: str, num_samples: int = 8, size: int = 128, seed: 
     for i in range(num_samples):
         rng = np.random.RandomState(seed * 1009 + i)
         img, mask = _draw_fish(rng, size, len(organs))
-        bgr = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+        bgr = np.ascontiguousarray(img[..., ::-1])
 
         # --- COCO-txt format (polygon per organ).
-        cv2.imwrite(os.path.join(coco_dir, f"s{i}.jpg"), bgr)
+        imops.imwrite_bgr(os.path.join(coco_dir, f"s{i}.jpg"), bgr)
         lines = []
         polys = []
         for oi, organ in enumerate(organs):
             m8 = (mask[..., oi] * 255).astype(np.uint8)
-            contours, _ = cv2.findContours(m8, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
-            if not contours:
+            cnt = imops.largest_contour(m8)
+            if cnt is None:
                 continue
-            cnt = max(contours, key=cv2.contourArea)
-            if cv2.contourArea(cnt) < 4:
+            area = _shoelace_area(cnt)
+            if area < 4:
                 continue
             flat = " ".join(str(int(v)) for v in cnt.reshape(-1))
-            polys.append((organ, cv2.contourArea(cnt), flat))
+            polys.append((organ, area, flat))
         lines.append(str(len(polys)))
         lines.append("")
         lines.append(f"{size} {size}")
@@ -148,31 +155,28 @@ def materialize_to_disk(root: str, num_samples: int = 8, size: int = 128, seed: 
             f.write("\n".join(lines))
 
         # --- ml_training_set format (organ folders, inverted grayscale masks).
-        cv2.imwrite(os.path.join(mlts_dir, "original image", f"s{i}.png"), bgr)
+        imops.imwrite_bgr(os.path.join(mlts_dir, "original image", f"s{i}.png"), bgr)
         for oi, organ in enumerate(organs):
             m8 = (mask[..., oi] * 255).astype(np.uint8)
-            inverted = cv2.bitwise_not(m8)  # loader re-inverts
-            cv2.imwrite(
+            inverted = imops.invert_u8(m8)  # loader re-inverts
+            imops.imwrite_bgr(
                 os.path.join(mlts_dir, organ.replace("_", " "), f"s{i}.png"), inverted
             )
 
         # --- SUIM format (yellow = fish in the mask image).
-        cv2.imwrite(os.path.join(suim_img, f"s{i}.jpg"), bgr)
+        imops.imwrite_bgr(os.path.join(suim_img, f"s{i}.jpg"), bgr)
         m8 = (mask[..., 0] * 255).astype(np.uint8)
         suim = np.zeros((size, size, 3), np.uint8)
         suim[m8 > 0] = (0, 255, 255)  # BGR yellow -> HSV hue 30ish
-        cv2.imwrite(os.path.join(suim_msk, f"s{i}.bmp"), suim)
+        imops.imwrite_bgr(os.path.join(suim_msk, f"s{i}.bmp"), suim)
 
         # --- DeepFish format (.jpg + json/<stem>__labels.json polygons).
-        cv2.imwrite(os.path.join(df_dir, f"s{i}.jpg"), bgr)
-        contours, _ = cv2.findContours(
-            (mask[..., 0] * 255).astype(np.uint8), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE
+        imops.imwrite_bgr(os.path.join(df_dir, f"s{i}.jpg"), bgr)
+        cnt = imops.largest_contour((mask[..., 0] * 255).astype(np.uint8))
+        regions = (
+            [[{"x": int(x), "y": int(y)} for x, y in cnt]] 
+            if cnt is not None and len(cnt) > 5 else []
         )
-        regions = [
-            [{"x": int(p[0][0]), "y": int(p[0][1])} for p in cnt]
-            for cnt in contours
-            if len(cnt) > 5
-        ]
         with open(os.path.join(df_json, f"s{i}__labels.json"), "w") as f:
             json.dump({"labels": [{"regions": regions}]}, f)
 

@@ -14,8 +14,22 @@ from __future__ import annotations
 import glob
 import os
 
-import cv2
 import numpy as np
+
+from . import imops
+
+
+def _require_cv2(what: str):
+    """Video capture/encode has no PIL equivalent; everything else in this
+    module runs through data.imops and works without OpenCV."""
+    try:
+        import cv2
+    except ImportError as e:
+        raise RuntimeError(
+            f"{what} requires OpenCV, which is not installed; frame-directory "
+            "workflows (pre-extracted frames) work without it"
+        ) from e
+    return cv2
 
 
 def parse_video(
@@ -25,6 +39,7 @@ def parse_video(
 
     Returns (frames array [N,H,W,3] RGB uint8, fps).
     """
+    cv2 = _require_cv2("video frame extraction (cv2.VideoCapture)")
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video: {video_path}")
@@ -38,8 +53,8 @@ def parse_video(
         if not ok:
             break
         if write_frames:
-            cv2.imwrite(os.path.join(frames_dir, f"frame_{i}.jpg"), frame)
-        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            imops.imwrite_bgr(os.path.join(frames_dir, f"frame_{i}.jpg"), frame)
+        frames.append(np.ascontiguousarray(frame[..., ::-1]))  # BGR -> RGB
         i += 1
     cap.release()
     if not frames:
@@ -58,7 +73,7 @@ class VideoDataset:
         return len(self.frames)
 
     def __getitem__(self, i: int):
-        frame = cv2.resize(self.frames[i], (self.img_shape, self.img_shape))
+        frame = imops.resize_linear(self.frames[i], (self.img_shape, self.img_shape))
         img = frame.astype(np.float32) / 255.0
         # masks unused in inference; keep the (image, label, path) contract
         return img, np.zeros((self.img_shape, self.img_shape, 1), np.float32), f"frame_{i}"
@@ -84,12 +99,13 @@ def reassemble_video(
         paths = sorted(glob.glob(os.path.join(frames_dir, "*.jpg")))
     if not paths:
         raise ValueError(f"no frames found in {frames_dir}")
-    first = cv2.imread(paths[0])
+    cv2 = _require_cv2("video reassembly (cv2.VideoWriter)")
+    first = imops.imread_bgr(paths[0])
     h, w = first.shape[:2]
     writer = cv2.VideoWriter(
         out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
     )
     for p in paths:
-        writer.write(cv2.imread(p))
+        writer.write(imops.imread_bgr(p))
     writer.release()
     return out_path

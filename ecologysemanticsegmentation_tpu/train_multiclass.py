@@ -77,18 +77,18 @@ def build_argparser() -> argparse.ArgumentParser:
 def save_val_triplets(out_dir: str, epoch: int, j: int, image, labels, probs, organs):
     """Reference val-image dump: ``val_images/<epoch>/<j>_{img,gt_organN,pred_organN}.png``
     (``train_multiclass.py:207-236``)."""
-    import cv2
+    from .data import imops
 
     d = os.path.join(out_dir, str(epoch))
     os.makedirs(d, exist_ok=True)
     base = os.path.join(d, str(j))
-    cv2.imwrite(base + "_img.png",
-                cv2.cvtColor((np.asarray(image) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+    imops.imwrite_bgr(base + "_img.png",
+                      (np.asarray(image)[..., ::-1] * 255).astype(np.uint8))
     for idx in range(len(organs)):
-        cv2.imwrite(base + f"_gt_organ{idx}.png",
-                    (np.clip(np.asarray(labels[..., idx]), 0, 1) * 255).astype(np.uint8))
-        cv2.imwrite(base + f"_pred_organ{idx}.png",
-                    (np.asarray(probs[..., idx]) * 255).astype(np.uint8))
+        imops.imwrite_bgr(base + f"_gt_organ{idx}.png",
+                          (np.clip(np.asarray(labels[..., idx]), 0, 1) * 255).astype(np.uint8))
+        imops.imwrite_bgr(base + f"_pred_organ{idx}.png",
+                          (np.asarray(probs[..., idx]) * 255).astype(np.uint8))
 
 
 def train(args=None):

@@ -1,0 +1,192 @@
+"""cv2-optional operation (data/imops.py).
+
+The reference hard-requires OpenCV everywhere; this framework routes host
+image work through ``data.imops`` so the CORE paths (loaders, synthetic
+fixture, trainers) run without cv2.  Two layers of coverage:
+
+* fidelity: the PIL/numpy fallbacks against the cv2 implementations
+  (cv2 is present in the test image, so both sides run);
+* end-to-end: a subprocess with ``import cv2`` BLOCKED materializes the
+  fixture in all four on-disk formats, scans every loader, and runs a
+  jitted train step.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from ecologysemanticsegmentation_tpu.data import imops
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture
+def no_cv2(monkeypatch):
+    """Route imops through its fallback branch (cv2 stays importable)."""
+    monkeypatch.setattr(imops, "cv2", None)
+
+
+def test_bgr2gray_matches_cv2(rng, no_cv2):
+    import cv2
+
+    img = (rng.rand(37, 53, 3) * 255).astype(np.uint8)
+    got = imops.bgr2gray(img)
+    want = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    # identical up to ties at the .5 rounding boundary
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    assert (got != want).mean() < 0.01
+
+
+def test_bgr2hsv_matches_cv2(rng, no_cv2):
+    import cv2
+
+    img = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+    got = imops.bgr2hsv_u8(img)
+    want = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    diff[..., 0] = np.minimum(diff[..., 0], 180 - diff[..., 0])  # hue wraps
+    assert diff.max() <= 1
+    # cv2's fixed-point tables round ties differently: measured ~2% of H and
+    # ~1% of S pixels are off by exactly 1 (inRange disagreement ~1e-4)
+    assert (diff > 0).mean() < 0.04
+
+
+def test_hsv_inrange_agreement_on_suim_range(rng, no_cv2):
+    import cv2
+
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    got = imops.hsv_inrange_bgr(img, (20, 100, 100), (30, 255, 255))
+    want = cv2.inRange(cv2.cvtColor(img, cv2.COLOR_BGR2HSV),
+                       (20, 100, 100), (30, 255, 255))
+    # disagreement only at exact range boundaries hit by rounding ties
+    assert (got != want).mean() < 0.005
+
+
+def test_imread_imwrite_roundtrip(tmp_path, rng, no_cv2):
+    img = (rng.rand(31, 47, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    assert imops.imwrite_bgr(p, img)
+    back = imops.imread_bgr(p)
+    np.testing.assert_array_equal(back, img)  # PNG is lossless
+    assert imops.imread_bgr(str(tmp_path / "missing.png")) is None
+
+
+def test_resize_linear_close_to_cv2(rng, no_cv2):
+    import cv2
+
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    got = imops.resize_linear(img, (96, 96)).astype(int)
+    want = cv2.resize(img, (96, 96)).astype(int)
+    assert np.abs(got - want).mean() < 3.0  # same kernel, different rounding
+
+
+def test_ellipse_and_circle_match_cv2_iou(no_cv2):
+    import cv2
+
+    a = np.zeros((64, 64), np.uint8)
+    imops.ellipse_filled(a, (30, 28), (20, 9), 37.0, 255)
+    imops.circle_filled(a, (50, 50), 7, 255)
+    b = np.zeros((64, 64), np.uint8)
+    cv2.ellipse(b, (30, 28), (20, 9), 37.0, 0, 360, 255, -1)
+    cv2.circle(b, (50, 50), 7, 255, -1)
+    inter = ((a > 0) & (b > 0)).sum()
+    union = ((a > 0) | (b > 0)).sum()
+    assert inter / union > 0.93  # <1px boundary disagreement
+
+
+def test_fill_poly_scanline_matches_cv2_iou(monkeypatch, no_cv2):
+    import cv2
+
+    from ecologysemanticsegmentation_tpu.data import native
+
+    pts = np.array([[5, 5], [58, 12], [40, 55], [12, 48]], np.int32)
+    a = np.zeros((64, 64), np.uint8)
+    monkeypatch.setattr(native, "native_available", lambda: False)
+    imops.fill_poly(a, pts, 255)  # pure-numpy scanline branch
+    b = np.zeros((64, 64), np.uint8)
+    cv2.fillPoly(b, [pts.reshape(-1, 1, 2)], 255)
+    inter = ((a > 0) & (b > 0)).sum()
+    union = ((a > 0) | (b > 0)).sum()
+    assert inter / union > 0.95
+
+
+def test_largest_contour_fallback_covers_region(no_cv2):
+    m = np.zeros((64, 64), np.uint8)
+    imops.ellipse_filled(m, (32, 30), (18, 10), 20.0, 255)
+    with pytest.warns(UserWarning, match="star-polygon"):
+        cnt = imops.largest_contour(m)
+    assert cnt is not None and len(cnt) >= 8
+    # rasterize the polygon back and compare coverage
+    back = np.zeros_like(m)
+    imops.fill_poly(back, cnt, 255)
+    inter = ((back > 0) & (m > 0)).sum()
+    assert inter / (m > 0).sum() > 0.9
+
+
+def test_end_to_end_without_cv2(tmp_path):
+    """Subprocess with cv2 BLOCKED: materialize all four formats, scan all
+    four loaders, augment a batch, run one jitted train step."""
+    blocker = tmp_path / "blocker"
+    blocker.mkdir()
+    (blocker / "cv2.py").write_text(
+        'raise ImportError("cv2 blocked for the no-cv2 end-to-end test")\n'
+    )
+    code = textwrap.dedent("""
+        import jax; jax.config.update("jax_platforms", "cpu")
+        import numpy as np
+        try:
+            import cv2
+            raise SystemExit("cv2 import unexpectedly succeeded")
+        except ImportError:
+            pass
+        from ecologysemanticsegmentation_tpu import data
+        from ecologysemanticsegmentation_tpu.data import imops
+        assert imops.cv2 is None
+        import sys
+        root = sys.argv[1]
+        data.materialize_to_disk(root, num_samples=3, size=64)
+        organs3 = ("whole_body", "ventral_side", "dorsal_side")
+        for getter, dtype, folder, organs in [
+            (data.get_alvaradolab_data, "segmentation/composite", "coco", organs3),
+            (data.get_ml_training_set_data, "segmentation/composite", "mlts", organs3),
+            (data.get_suim_data, "segmentation", "suim", ("whole_body",)),
+            (data.get_deepfish_segclsloc_data, "segmentation", "deepfish",
+             ("whole_body",)),
+        ]:
+            ds = getter(dtype, folder, root, 64, 0.0075, organs=organs)
+            assert len(ds) == 3, (folder, len(ds))
+            img, mask, _ = ds[0]
+            assert img.shape == (64, 64, 3) and (mask[..., 0] > 0).sum() > 40, folder
+        # train step end to end on the in-memory fixture
+        import jax.numpy as jnp
+        from ecologysemanticsegmentation_tpu.models import build_model
+        from ecologysemanticsegmentation_tpu.train import (
+            create_train_state, make_optimizer, make_train_step)
+        ds = data.get_synthetic_data(img_shape=64, num_samples=2,
+                                     organs=("whole_body",))
+        xs = np.stack([ds[i][0] for i in range(2)]).astype(np.float32)
+        ys = np.stack([ds[i][1] for i in range(2)]).astype(np.float32)
+        m = build_model("unet", num_classes=1)
+        tx = make_optimizer(1e-3)
+        st = create_train_state(m, jax.random.PRNGKey(0), (1, 64, 64, 3), tx)
+        step = make_train_step(m, tx, augment=True)
+        st, met = step(st, {"image": jnp.asarray(xs), "label": jnp.asarray(ys)},
+                       jax.random.PRNGKey(1), 0.3, jnp.ones(3), 1e-3, jnp.ones(2))
+        assert np.isfinite(float(met["loss"]))
+        print("NO_CV2_E2E_OK")
+    """)
+    env = dict(os.environ)
+    parts = [str(blocker), REPO] + [
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p
+    ]
+    env["PYTHONPATH"] = os.pathsep.join(dict.fromkeys(parts))
+    proc = subprocess.run(
+        [sys.executable, "-c", code, str(tmp_path / "fixture")],
+        env=env, capture_output=True, text=True, timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "NO_CV2_E2E_OK" in proc.stdout
