@@ -152,6 +152,35 @@ def invert_u8(img: np.ndarray) -> np.ndarray:
     return (255 - img.astype(np.uint8)).astype(np.uint8)
 
 
+def hsv2bgr_u8(hsv: np.ndarray) -> np.ndarray:
+    """cv2 HSV2BGR uint8 semantics (H in [0, 180))."""
+    if cv2 is not None:
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+    h = hsv[..., 0].astype(np.float64) * 2.0  # degrees
+    s = hsv[..., 1].astype(np.float64) / 255.0
+    v = hsv[..., 2].astype(np.float64)
+    c = v * s
+    hp = h / 60.0
+    x = c * (1.0 - np.abs(np.mod(hp, 2.0) - 1.0))
+    z = np.zeros_like(c)
+    conds = [(hp < 1), (hp < 2), (hp < 3), (hp < 4), (hp < 5)]
+    r = np.select(conds, [c, x, z, z, x], default=c)
+    g = np.select(conds, [x, c, c, x, z], default=z)
+    b = np.select(conds, [z, z, x, c, c], default=x)
+    m = v - c
+    out = np.stack([b + m, g + m, r + m], axis=-1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def add_weighted(a: np.ndarray, wa: float, b: np.ndarray, wb: float,
+                 gamma: float = 0.0) -> np.ndarray:
+    """cv2.addWeighted on uint8: saturate(round(a*wa + b*wb + gamma))."""
+    if cv2 is not None:
+        return cv2.addWeighted(a, wa, b, wb, gamma)
+    out = a.astype(np.float64) * wa + b.astype(np.float64) * wb + gamma
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 # ---------------------------------------------------------------------- draw
 
 

@@ -51,8 +51,8 @@ def make_palette_image(size: int = 256) -> np.ndarray:
     """Procedural stand-in for the reference's ``palette.png`` (used by the
     HSV picker and show-colors displays): an HSV sweep — hue across x,
     saturation down the top half, value down the bottom half.  Returns BGR
-    uint8 (cv2 convention)."""
-    import cv2
+    uint8 (cv2 convention; cv2-optional via data.imops)."""
+    from ..data import imops
 
     h = np.linspace(0, 179, size, dtype=np.float32)[None, :].repeat(size, 0)
     ramp = np.linspace(0, 255, size // 2, dtype=np.float32)
@@ -61,7 +61,7 @@ def make_palette_image(size: int = 256) -> np.ndarray:
     v = np.concatenate([np.full((size // 2, size), 255, np.float32),
                         ramp[::-1][:, None].repeat(size, 1)])
     hsv = np.stack([h, s, v], axis=-1).astype(np.uint8)
-    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+    return imops.hsv2bgr_u8(hsv)
 
 
 # name -> hue degree (0-360). Default 12-hue wheel + neutrals.

@@ -33,9 +33,10 @@ def display_composite_annotations(
     """Overlay organ masks; returns a list of {name: image} dicts.
 
     ``show=True`` additionally pops cv2 windows (the reference's interactive
-    default); headless callers keep the pure return path.
+    default); headless callers keep the pure return path (cv2-optional via
+    data.imops).
     """
-    import cv2
+    from ..data import imops
 
     alpha = 0.75
     image = np.ascontiguousarray(image).astype(np.uint8)
@@ -83,14 +84,18 @@ def display_composite_annotations(
                     continue
             color = np.array(COLORS[seg_id % len(COLORS)], np.uint8)
             seg_img = (chan.clip(0, 255).astype(np.uint8)[..., None] // 255) * color
-            canvas = cv2.addWeighted(canvas, 1 - alpha, seg_img, alpha, 1.0)
+            canvas = imops.add_weighted(canvas, 1 - alpha, seg_img, alpha, 1.0)
             if show:
+                import cv2
+
                 cv2.imshow(f"fish_{composite_labels[seg_id]}", chan.clip(0, 255).astype(np.uint8))
             if return_image:
                 return_images.append({composite_labels[seg_id]: canvas.copy()})
 
         ann_type = "all_parts" if outer_loop_times == 1 else ", ".join(CPARTS[outer_idx])
         if show:
+            import cv2
+
             cv2.imshow(f"fish_{ann_type}", canvas)
             cv2.waitKey()
         return_images.append({ann_type: canvas})

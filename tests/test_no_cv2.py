@@ -190,3 +190,28 @@ def test_end_to_end_without_cv2(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "NO_CV2_E2E_OK" in proc.stdout
+
+
+def test_hsv2bgr_matches_cv2(rng, no_cv2):
+    import cv2
+
+    hsv = np.stack([
+        (rng.rand(40, 40) * 180).astype(np.uint8),
+        (rng.rand(40, 40) * 256).astype(np.uint8),
+        (rng.rand(40, 40) * 256).astype(np.uint8),
+    ], axis=-1)
+    got = imops.hsv2bgr_u8(hsv).astype(int)
+    want = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR).astype(int)
+    # cv2's fixed-point inverse rounds ~32% of channels one LSB differently;
+    # the bound that matters is the magnitude
+    assert np.abs(got - want).max() <= 1
+
+
+def test_add_weighted_matches_cv2(rng, no_cv2):
+    import cv2
+
+    a = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    b = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    got = imops.add_weighted(a, 0.25, b, 0.75, 1.0).astype(int)
+    want = cv2.addWeighted(a, 0.25, b, 0.75, 1.0).astype(int)
+    assert np.abs(got - want).max() <= 1
