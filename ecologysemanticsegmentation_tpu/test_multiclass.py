@@ -46,9 +46,8 @@ def evaluate_checkpoint(
 ):
     """One checkpoint over the test set; returns per-organ Dice or None if the
     epoch's results dir already exists (idempotent-skip contract)."""
+    from .data import imops
     from .utils import display_composite_annotations
-
-    import cv2
 
     dir_name = os.path.join(results_dir, str(saved_epoch).zfill(4), ",".join(organs))
     if os.path.isdir(dir_name):
@@ -70,10 +69,10 @@ def evaluate_checkpoint(
             gts = display_composite_annotations(img8, gt8, list(organs), verbose=False)
             for entry_p, entry_g in zip(preds, gts):
                 key = list(entry_g.keys())[0]
-                cv2.imwrite(os.path.join(dir_name, f"{key}_{j}_gt.png"),
-                            cv2.cvtColor(entry_g[key], cv2.COLOR_RGB2BGR))
-                cv2.imwrite(os.path.join(dir_name, f"{key}_{j}_pred.png"),
-                            cv2.cvtColor(entry_p[key], cv2.COLOR_RGB2BGR))
+                imops.imwrite_bgr(os.path.join(dir_name, f"{key}_{j}_gt.png"),
+                                  entry_g[key][..., ::-1])
+                imops.imwrite_bgr(os.path.join(dir_name, f"{key}_{j}_pred.png"),
+                                  entry_p[key][..., ::-1])
     if batches == 0:
         return None
     dice = total / batches

@@ -43,13 +43,13 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(args=None):
     args = args if args is not None else build_argparser().parse_args()
-    import cv2
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
     from .config import EnvConfig
+    from .data import imops
     from .data.video import VideoDataset, reassemble_video
     from .models import build_model
     from .train import create_train_state, load_checkpoint_file, make_forward, make_optimizer
@@ -99,10 +99,10 @@ def main(args=None):
                     img8, mask8, list(cfg.organs), verbose=False
                 )
                 out = entries[-1][list(entries[-1].keys())[0]]
-                out = cv2.cvtColor(out, cv2.COLOR_RGB2BGR)
+                out = out[..., ::-1]  # RGB -> BGR
             else:
                 out = (probs[k, ..., 0] * 255).astype(np.uint8)
-            cv2.imwrite(os.path.join(args.result_dir, f"output_frame_{i}.jpg"), out)
+            imops.imwrite_bgr(os.path.join(args.result_dir, f"output_frame_{i}.jpg"), out)
     print(f"wrote {n} output frames to {args.result_dir}")
 
     if args.reassemble:
