@@ -99,3 +99,32 @@ def test_remat_train_step_identical(max_channels):
     # bounded, not bitwise (same rationale as the DP trajectory check in
     # __graft_entry__).  The bitwise statement is the unjitted tests above.
     assert _max_delta(params[0], params[1]) <= 2 * 1e-3 + 1e-6
+
+
+def test_remat_checkpoint_interchangeable(tmp_path):
+    """A checkpoint written while training with remat=True restores into the
+    remat=False model (and vice versa): identical parameter paths make the
+    execution plan a free choice at load time."""
+    from ecologysemanticsegmentation_tpu.train import (
+        load_checkpoint_file,
+        save_checkpoint,
+    )
+
+    img = 64
+    m_remat = build_model("vgg_unet", num_classes=3, max_channels=256, remat=True)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(m_remat, jax.random.PRNGKey(0), (1, img, img, 3), tx)
+    path = save_checkpoint(str(tmp_path), "expt", 0, state)
+
+    m_plain = build_model("vgg_unet", num_classes=3, max_channels=256, remat=False)
+    template = create_train_state(m_plain, jax.random.PRNGKey(1), (1, img, img, 3), tx)
+    restored = load_checkpoint_file(path, template)
+    assert restored is not None
+    assert _max_delta(restored.params, state.params) == 0.0
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, img, img, 3), jnp.float32)
+    out_plain = m_plain.apply(
+        {"params": restored.params, "batch_stats": restored.batch_stats}, x)
+    out_remat = m_remat.apply(
+        {"params": state.params, "batch_stats": state.batch_stats}, x)
+    assert float(jnp.max(jnp.abs(out_plain - out_remat))) == 0.0
