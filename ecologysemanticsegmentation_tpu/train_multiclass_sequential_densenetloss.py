@@ -48,6 +48,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ckpt", default="msgpack", choices=["msgpack", "orbax"],
                     help="Checkpoint backend: msgpack = reference filename "
                          "layout; orbax = async preemption-safe writes")
+    ap.add_argument("--spatial_partition", default=1, type=int,
+                    help="shard image rows over a mesh 'model' axis of this "
+                         "size (GSPMD spatial partitioning for IMGSIZE >> 256; "
+                         "1 = pure data parallelism)")
     return ap
 
 
@@ -83,7 +87,7 @@ def train(args=None):
             "whole_body/ventral_side/dorsal_side structure (reference :304-362)"
         )
 
-    mesh = create_mesh()
+    mesh = create_mesh(model_parallel=getattr(args, "spatial_partition", 1))
     batch_size = local_batch_to_global(args.batch_size, mesh)
 
     train_ds, val_ds, _ = get_split_datasets(cfg, synthetic=args.dataset == "synthetic")
@@ -131,7 +135,8 @@ def train(args=None):
         # composite branch; the executed loss takes none (placeholder ones).
         jitters = jnp.ones((2,), jnp.float32)
         for i, batch in enumerate(
-            device_prefetch(iter(loader), sharding=batch_sharding(mesh))
+            device_prefetch(iter(loader), sharding=batch_sharding(
+                mesh, spatial=getattr(args, "spatial_partition", 1) > 1))
         ):
             step_rng = jax.random.fold_in(rng, epoch * 1_000_003 + i)
             state, metrics = train_step(
