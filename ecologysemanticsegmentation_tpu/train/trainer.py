@@ -59,10 +59,20 @@ class TrainState:
     opt_state: Any
 
 
-def make_optimizer(lr: float = 3e-4) -> optax.GradientTransformation:
+def make_optimizer(lr: float = 3e-4, grad_accum: int = 1) -> optax.GradientTransformation:
     """Adam with an injectable learning rate (epoch schedules are applied by
     overwriting the hyperparam, exactly like torch schedulers mutate the
     optimizer's lr).
+
+    ``grad_accum=K`` wraps in ``optax.MultiSteps``: K micro-batch gradients
+    are averaged into one Adam update (zero updates in between), letting
+    large-image configs (IMGSIZE >= 512) keep an effective batch HBM can't
+    hold at once.  Semantics notes: batch-COUPLED loss terms (the dice
+    family normalizes over the micro-batch) make K x B accumulation a
+    slightly different objective than one K*B batch, and BatchNorm statistics
+    update per micro-batch — both standard accumulation behavior.  The
+    optimizer-state pytree changes shape, so resume with the same
+    ``--grad_accum``.
 
     Deliberately NOT wrapped in ``optax.flatten``: measured on v5e at batch
     128 the flat-vector update wins only in isolation (7.2 -> 5.0 ms) while
@@ -70,7 +80,10 @@ def make_optimizer(lr: float = 3e-4) -> optax.GradientTransformation:
     inside the fused step), and flattening changes the ``mu``/``nu``
     checkpoint pytree — every previously saved msgpack checkpoint would
     silently fail to resume (RESULTS.md, round-2 A/B log)."""
-    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
 def create_train_state(model, rng, input_shape, tx) -> TrainState:
@@ -226,7 +239,10 @@ def make_train_step(
         )(state.params)
 
         opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        # inject_hyperparams' dict sits one level deeper under MultiSteps
+        inner = (opt_state.inner_opt_state
+                 if isinstance(opt_state, optax.MultiStepsState) else opt_state)
+        inner.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         updates, opt_state = tx.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 

@@ -67,6 +67,11 @@ def build_argparser() -> argparse.ArgumentParser:
                          "into the fused loss kernel (on by default for "
                          "multi-organ deeplabv3plus; parameters and "
                          "checkpoints are identical either way)")
+    ap.add_argument("--grad_accum", default=1, type=int,
+                    help="Average this many micro-batch gradients into "
+                         "one Adam update (large-image configs where HBM "
+                         "caps the per-step batch); resume with the same "
+                         "value")
     ap.add_argument("--remat", action="store_true",
                     help="Per-stage rematerialization for vgg_unet (trades "
                          "recompute for HBM activation traffic; numerics "
@@ -148,7 +153,7 @@ def train(args=None):
         model_name, num_classes=cfg.num_classes, encoder_name=args.encoder,
         max_channels=cfg.max_channels, deepsupervision=args.deepsupervision,
     )
-    tx = make_optimizer(args.lr)
+    tx = make_optimizer(args.lr, grad_accum=getattr(args, "grad_accum", 1))
     rng = jax.random.PRNGKey(args.seed)
     state = create_train_state(model, rng, (1, cfg.img_size, cfg.img_size, 3), tx)
 

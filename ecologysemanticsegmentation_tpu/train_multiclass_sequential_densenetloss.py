@@ -48,6 +48,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ckpt", default="msgpack", choices=["msgpack", "orbax"],
                     help="Checkpoint backend: msgpack = reference filename "
                          "layout; orbax = async preemption-safe writes")
+    ap.add_argument("--grad_accum", default=1, type=int,
+                    help="Average this many micro-batch gradients into "
+                         "one Adam update (large-image configs where HBM "
+                         "caps the per-step batch); resume with the same "
+                         "value")
     ap.add_argument("--spatial_partition", default=1, type=int,
                     help="shard image rows over a mesh 'model' axis of this "
                          "size (GSPMD spatial partitioning for IMGSIZE >> 256; "
@@ -97,7 +102,7 @@ def train(args=None):
         "deeplabv3plus", num_classes=cfg.num_classes, encoder_name=args.encoder,
         depthwise=args.depthwiseconv,
     )
-    tx = make_optimizer(args.lr)
+    tx = make_optimizer(args.lr, grad_accum=getattr(args, "grad_accum", 1))
     rng = jax.random.PRNGKey(args.seed)
     state = create_train_state(model, rng, (1, cfg.img_size, cfg.img_size, 3), tx)
 
