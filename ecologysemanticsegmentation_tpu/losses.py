@@ -193,6 +193,24 @@ def seven_losses_lowres(
     return jnp.sum(per, axis=-1)
 
 
+def seven_losses_lowres_spatial(
+    logits_lr: jax.Array, g: jax.Array, mesh,
+    data_axis: str = "data", model_axis: str = "model",
+) -> jax.Array:
+    """:func:`seven_losses_lowres` with the fused kernel explicitly
+    partitioned over a ``(data, model)`` mesh (labels row-sharded over
+    ``model``) via :func:`.ops.pallas.head_loss.head_sums_spatial` — the
+    ``--spatial_partition`` training path, where a bare ``pallas_call``
+    would force XLA to all-gather the full-resolution labels per device."""
+    assert g.shape[-1] > 1, "seven_losses_lowres is multi-organ only"
+    from .ops.pallas.head_loss import head_sums_spatial
+
+    sums = head_sums_spatial(logits_lr, g.astype(jnp.bfloat16), mesh,
+                             data_axis=data_axis, model_axis=model_axis)
+    per = seven_from_sums(sums, 0.0)
+    return jnp.sum(per, axis=-1)
+
+
 def seven_losses_composite_general(
     x: jax.Array,
     g: jax.Array,

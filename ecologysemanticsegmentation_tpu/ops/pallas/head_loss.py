@@ -320,6 +320,170 @@ def _make_fused_rows(shape_lr, shape_hr, align_corners: bool, interpret: bool,
 
 
 @functools.lru_cache(maxsize=8)
+def _make_fused_spatial(shape_lr, shape_hr_local, interpret: bool):
+    """Per-shard build for spatial partitioning (:func:`head_sums_spatial`):
+    identical kernels to :func:`_make_fused`, but the row-interpolation
+    operand enters as a TRACED argument — each device passes the
+    ``(H_local, h)`` block of the global matrix that selects its own output
+    rows, so the kernel computes this shard's partial sums with no halo
+    exchange (the low-res logits are fully replicated across the model
+    axis; they are ~100x smaller than the labels)."""
+    B, h, w, C = shape_lr
+    _, Hl, W, _ = shape_hr_local
+
+    bb = 1
+    for cand in (8, 4, 2):
+        if B % cand == 0 and cand * Hl * W * C * 4 <= 4 * 2**20:
+            bb = cand
+            break
+    grid = B // bb
+
+    def _full(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    def _fwd(logits, labels, mh, mwc):
+        x = logits.reshape(B, h, w * C)
+        g = labels.reshape(B, Hl, W * C)
+        out = pl.pallas_call(
+            _fwd_kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((bb, h, w * C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, Hl, W * C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                _full((Hl, h)),
+                _full((w * C, W * C)),
+            ],
+            out_specs=pl.BlockSpec((NUM_SUMS, W * C), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((NUM_SUMS, W * C), jnp.float32),
+            interpret=interpret,
+        )(x, g, mh, mwc)
+        sums = out.reshape(NUM_SUMS, W, C).sum(axis=1)
+        return sums.at[7].set(float(B * Hl * W))  # local count; psum -> global
+
+    def _bwd(logits, labels, mh, mwc, cot):
+        x = logits.reshape(B, h, w * C)
+        g = labels.reshape(B, Hl, W * C)
+        wline = jnp.tile(cot.astype(jnp.float32), (1, W))
+        dx = pl.pallas_call(
+            _bwd_kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((bb, h, w * C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, Hl, W * C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                _full((NUM_SUMS, W * C)),
+                _full((Hl, h)),
+                _full((w * C, W * C)),
+                _full((h, Hl)),
+                _full((W * C, w * C)),
+            ],
+            out_specs=pl.BlockSpec((bb, h, w * C), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, h, w * C), logits.dtype),
+            interpret=interpret,
+        )(x, g, wline, mh, mwc, mh.T, mwc.T)
+        return dx.reshape(B, h, w, C)
+
+    @jax.custom_vjp
+    def fused(logits, labels, mh, mwc):
+        return _fwd(logits, labels, mh, mwc)
+
+    def fused_fwd(logits, labels, mh, mwc):
+        return _fwd(logits, labels, mh, mwc), (logits, labels, mh, mwc)
+
+    def fused_bwd(res, cot):
+        logits, labels, mh, mwc = res
+        return (_bwd(logits, labels, mh, mwc, cot), jnp.zeros_like(labels),
+                jnp.zeros_like(mh), jnp.zeros_like(mwc))
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def _spatial_sums_reference(x: jax.Array, g: jax.Array, mh_local: jax.Array,
+                            mwc: jax.Array) -> jax.Array:
+    """Pure-jnp per-shard partial sums (same math as the spatial kernel)."""
+    B, h, w, C = x.shape
+    _, Hl, W, _ = g.shape
+    xf = x.reshape(B, h, w * C).astype(jnp.float32)
+    u = jnp.einsum("Hh,bhk->bHk", mh_local, xf)
+    u = jnp.einsum("bHk,kK->bHK", u, mwc)
+    p = jax.nn.sigmoid(u)
+    return _sums_reference(p.reshape(-1, C).T,
+                           g.reshape(B, Hl, W, C).reshape(-1, C).T)
+
+
+def head_sums_spatial(
+    logits_lr: jax.Array,
+    labels: jax.Array,
+    mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    align_corners: bool = True,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Spatially-partitioned :func:`fused_head_loss_sums` (shard_map form).
+
+    For ``--spatial_partition`` training (image rows sharded over the mesh's
+    ``model`` axis), a bare ``pallas_call`` is opaque to GSPMD — XLA would
+    all-gather the full-resolution labels onto every device.  This wrapper
+    makes the partitioning explicit: labels stay row-sharded
+    (``P(data, model)``), the 1/4-resolution logits are replicated across
+    ``model`` (they are tiny), each device runs the SAME fused kernel on its
+    row block with the matching ``(H/n, h)`` slice of the row-interpolation
+    matrix (no halo exchange — every output row reads only replicated
+    low-res rows), and one ``psum`` over (data, model) produces the global
+    ``(8, C)`` sums on every device.  Gradients flow through the kernel's
+    custom VJP and the psum; the count row composes because each shard
+    contributes its local count.
+
+    Falls back to a jnp body per shard off-TPU (CPU tests run BOTH paths —
+    the kernel under ``interpret=True`` — on the virtual mesh)."""
+    from jax.sharding import PartitionSpec as P
+
+    n = int(mesh.shape[model_axis])
+    dp = int(mesh.shape[data_axis])
+    B, h, w, C = logits_lr.shape
+    _, H, W, _ = labels.shape
+    assert H % n == 0 and B % dp == 0, (H, n, B, dp)
+    Hl, Bl = H // n, B // dp
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas and not interpret:
+        # same degrade rule as fused_head_loss_sums, on the LOCAL block
+        fixed = (h * w * C * 4 + (w * C) * (W * C) * 4 * 2
+                 + NUM_SUMS * W * C * 4)
+        if fixed + Hl * W * C * 4 + 2 * Hl * h * 4 > 12 * 2**20:
+            use_pallas = False
+
+    def local_fn(x, g):
+        k = jax.lax.axis_index(model_axis)
+        mh, mwc = _upsample_mats(h, w, H, W, C, align_corners)
+        mh_local = jax.lax.dynamic_slice_in_dim(jnp.asarray(mh), k * Hl, Hl, 0)
+        mwc = jnp.asarray(mwc)
+        if use_pallas or interpret:
+            fused = _make_fused_spatial((Bl, h, w, C), (Bl, Hl, W, C),
+                                        bool(interpret))
+            part = fused(x, g, mh_local, mwc)
+        else:
+            part = _spatial_sums_reference(x, g, mh_local, mwc)
+        return jax.lax.psum(part, (data_axis, model_axis))
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, which the vma checker (jax >= 0.8) rejects inside shard_map.
+    return jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis, model_axis)),
+        out_specs=P(None, None), check_vma=False,
+    )(logits_lr, labels)
+
+
+@functools.lru_cache(maxsize=8)
 def _make_fused(shape_lr, shape_hr, align_corners: bool, interpret: bool):
     """Build the custom-VJP fused op for static shapes.
 

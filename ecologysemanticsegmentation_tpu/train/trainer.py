@@ -120,6 +120,7 @@ def make_train_step(
     lowres_head: bool = False,
     k_steps: int = 1,
     scan_unroll: int = 1,
+    spatial_mesh=None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -152,6 +153,11 @@ def make_train_step(
     signature but ``batch`` leaves carry a leading (K,) axis (K
     device-resident batches) and the returned metrics are stacked (K,).
     Amortizes the remote-relay dispatch floor + inter-step device idle.
+
+    ``spatial_mesh``: with ``lowres_head``, partition the fused head-loss
+    kernel explicitly over this ``(data, model)`` mesh (labels row-sharded
+    over ``model`` — the ``--spatial_partition`` path; see
+    :func:`..losses.seven_losses_lowres_spatial`).
     """
     assert composite_mode in ("none", "general", "sequential")
     assert k_steps >= 1
@@ -200,9 +206,16 @@ def make_train_step(
                 rngs={"dropout": jax.random.fold_in(rng, 1)},
             )
             if lowres_head:
-                from ..losses import seven_losses_lowres
+                from ..losses import seven_losses_lowres, seven_losses_lowres_spatial
 
-                seven = seven_losses_lowres(out, labels)
+                if spatial_mesh is not None:
+                    # --spatial_partition: labels stay row-sharded over the
+                    # mesh 'model' axis through the fused kernel (explicit
+                    # shard_map; a bare pallas_call would make GSPMD gather
+                    # the full-resolution labels per device).
+                    seven = seven_losses_lowres_spatial(out, labels, spatial_mesh)
+                else:
+                    seven = seven_losses_lowres(out, labels)
                 loss = (
                     gates3[0] * seven[6]
                     + gates3[1] * seven[1]

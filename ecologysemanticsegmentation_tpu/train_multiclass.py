@@ -167,6 +167,7 @@ def train(args=None):
     train_step = make_train_step(
         model, tx, augment=not args.no_augment,
         deepsupervision=args.deepsupervision, lowres_head=lowres,
+        spatial_mesh=mesh if (lowres and args.spatial_partition > 1) else None,
     )
     eval_step = make_eval_step(eval_model) if not args.deepsupervision else None
 
