@@ -42,6 +42,22 @@ except ImportError:  # pragma: no cover
 HAS_CV2 = cv2 is not None
 
 
+class _MissingCv2:
+    """Attribute trampoline: raises only when a cv2-required operation is
+    actually invoked (video capture/encode, Sobel/matchTemplate analysis
+    tools) — importing the modules stays legal without OpenCV."""
+
+    def __getattr__(self, name):
+        raise RuntimeError(
+            f"OpenCV (cv2) is required for this operation (cv2.{name}); "
+            "the core training/serving paths run without it (data.imops)")
+
+
+#: ``cv2`` when importable, else a call-time-error stub.  Modules whose
+#: algorithms have no PIL/numpy equivalent import THIS as their ``cv2``.
+cv2_or_stub = cv2 if cv2 is not None else _MissingCv2()
+
+
 def _pil_image():
     from PIL import Image
 
@@ -219,22 +235,31 @@ def circle_filled(img: np.ndarray, center: tuple[int, int], radius: int,
     _paint(img, (xx - center[0]) ** 2 + (yy - center[1]) ** 2 <= radius ** 2, color)
 
 
-def fill_poly(img: np.ndarray, pts: np.ndarray, color) -> None:
-    """Filled polygon (cv2.fillPoly); paints in place.  Fallback rasterizes
-    through the native scanline fill (native/hostops.cpp) or, without a
-    toolchain, a numpy even-odd scanline."""
-    poly = np.asarray(pts, np.int64).reshape(-1, 2)
+def fill_poly(img: np.ndarray, pts, color) -> None:
+    """Filled polygon(s) (cv2.fillPoly); paints in place.  ``pts`` is one
+    (N, 2) array or a LIST of them — a multi-polygon call keeps cv2's
+    even-odd semantics ACROSS polygons (overlaps/holes cancel), exactly like
+    a single ``cv2.fillPoly(img, [p1, p2, ...])`` call.  Fallback rasterizes
+    each polygon through the native scanline fill (native/hostops.cpp) or a
+    numpy even-odd scanline, then XORs the per-polygon regions (equivalent
+    for non-self-intersecting polygons)."""
+    polys = pts if isinstance(pts, (list, tuple)) else [pts]
+    polys = [np.asarray(p, np.int64).reshape(-1, 2) for p in polys]
     if cv2 is not None:
-        cv2.fillPoly(img, [poly.astype(np.int32).reshape(-1, 1, 2)], color)
+        cv2.fillPoly(img, [p.astype(np.int32).reshape(-1, 1, 2) for p in polys],
+                     color)
         return
     from . import native
 
-    mask = np.zeros(img.shape[:2], np.uint8)
-    if native.native_available():
-        native.fill_polygon(mask, poly.astype(np.int32))
-    else:
-        _scanline_fill(mask, poly)
-    _paint(img, mask > 0, color)
+    parity = np.zeros(img.shape[:2], bool)
+    for poly in polys:
+        mask = np.zeros(img.shape[:2], np.uint8)
+        if native.native_available():
+            native.fill_polygon(mask, poly.astype(np.int32))
+        else:
+            _scanline_fill(mask, poly)
+        parity ^= mask > 0
+    _paint(img, parity, color)
 
 
 def _scanline_fill(mask: np.ndarray, poly: np.ndarray) -> None:

@@ -444,8 +444,10 @@ def get_deepfish_segclsloc_data(
             ]
             pts = [p for p in pts if len(p) > 5]
             if pts:
-                for poly in pts:
-                    imops.fill_poly(seg, poly.reshape(-1, 2), 255)
+                # ONE multi-polygon call: cv2's even-odd rule applies across
+                # regions (holes/overlaps cancel), matching the reference's
+                # cv2.fillPoly(seg, pts=pts) exactly
+                imops.fill_poly(seg, [p.reshape(-1, 2) for p in pts], 255)
         seg = _resize(seg, img_shape)
         mask = (seg[..., None] / 255.0).astype(np.float32)
         return image.astype(np.float32) / 255.0, mask, img_path

@@ -19,19 +19,6 @@ import numpy as np
 from . import imops
 
 
-def _require_cv2(what: str):
-    """Video capture/encode has no PIL equivalent; everything else in this
-    module runs through data.imops and works without OpenCV."""
-    try:
-        import cv2
-    except ImportError as e:
-        raise RuntimeError(
-            f"{what} requires OpenCV, which is not installed; frame-directory "
-            "workflows (pre-extracted frames) work without it"
-        ) from e
-    return cv2
-
-
 def parse_video(
     video_path: str, frames_dir: str = "frames", write_frames: bool = True
 ) -> tuple[np.ndarray, float]:
@@ -39,11 +26,12 @@ def parse_video(
 
     Returns (frames array [N,H,W,3] RGB uint8, fps).
     """
-    cv2 = _require_cv2("video frame extraction (cv2.VideoCapture)")
-    cap = cv2.VideoCapture(video_path)
+    # capture has no PIL equivalent: imops.cv2_or_stub raises an explicit
+    # error at this call when OpenCV is absent
+    cap = imops.cv2_or_stub.VideoCapture(video_path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video: {video_path}")
-    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    fps = cap.get(imops.cv2_or_stub.CAP_PROP_FPS) or 25.0
     if write_frames:
         os.makedirs(frames_dir, exist_ok=True)
     frames = []
@@ -99,7 +87,7 @@ def reassemble_video(
         paths = sorted(glob.glob(os.path.join(frames_dir, "*.jpg")))
     if not paths:
         raise ValueError(f"no frames found in {frames_dir}")
-    cv2 = _require_cv2("video reassembly (cv2.VideoWriter)")
+    cv2 = imops.cv2_or_stub  # encode has no PIL equivalent
     first = imops.imread_bgr(paths[0])
     h, w = first.shape[:2]
     writer = cv2.VideoWriter(

@@ -454,19 +454,21 @@ def head_sums_spatial(
     Hl, Bl = H // n, B // dp
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
-    if use_pallas and not interpret:
-        # same degrade rule as fused_head_loss_sums, on the LOCAL block
-        fixed = (h * w * C * 4 + (w * C) * (W * C) * 4 * 2
-                 + NUM_SUMS * W * C * 4)
-        if fixed + Hl * W * C * 4 + 2 * Hl * h * 4 > 12 * 2**20:
-            use_pallas = False
+        if use_pallas:
+            # same degrade rule as fused_head_loss_sums, on the LOCAL block
+            fixed = (h * w * C * 4 + (w * C) * (W * C) * 4 * 2
+                     + NUM_SUMS * W * C * 4)
+            if fixed + Hl * W * C * 4 + 2 * Hl * h * 4 > 12 * 2**20:
+                use_pallas = False
 
     def local_fn(x, g):
         k = jax.lax.axis_index(model_axis)
         mh, mwc = _upsample_mats(h, w, H, W, C, align_corners)
         mh_local = jax.lax.dynamic_slice_in_dim(jnp.asarray(mh), k * Hl, Hl, 0)
         mwc = jnp.asarray(mwc)
-        if use_pallas or interpret:
+        if use_pallas:  # same contract as fused_head_loss_sums:
+            # use_pallas=False ALWAYS selects the jnp reference; interpret
+            # only chooses how the kernel executes when use_pallas is set
             fused = _make_fused_spatial((Bl, h, w, C), (Bl, Hl, W, C),
                                         bool(interpret))
             part = fused(x, g, mh_local, mwc)

@@ -197,12 +197,20 @@ def _bwd_vjp(interpret, res, cot):
 
 def loss_sums_nhwc(probs: jax.Array, labels: jax.Array, use_pallas: bool | None = None):
     """NHWC -> (8, C) sums.  ``use_pallas=None`` auto-selects: the Pallas
-    kernel on TPU, the jnp reference elsewhere (identical math)."""
+    kernel on TPU, the jnp reference elsewhere (identical math).
+    ``LOSS_SUMS_USE_PALLAS=0`` forces the jnp path — useful under GSPMD
+    sharding (e.g. the sequential trainer's --spatial_partition), where a
+    bare pallas_call is opaque to the partitioner but the jnp reduction
+    partitions natively."""
+    import os
+
     c = probs.shape[-1]
     p = probs.reshape(-1, c).T
     g = labels.reshape(-1, c).T
     if use_pallas is None:
-        use_pallas = jax.devices()[0].platform == "tpu"
+        use_pallas = (jax.devices()[0].platform == "tpu"
+                      and os.environ.get("LOSS_SUMS_USE_PALLAS", "1")
+                      not in ("0", "false"))
     if not use_pallas:
         return _sums_reference(p, g)
     return fused_loss_sums(p, g, False)

@@ -56,7 +56,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--spatial_partition", default=1, type=int,
                     help="shard image rows over a mesh 'model' axis of this "
                          "size (GSPMD spatial partitioning for IMGSIZE >> 256; "
-                         "1 = pure data parallelism)")
+                         "1 = pure data parallelism).  NOTE: this trainer's "
+                         "composite loss kernel (loss_sums_nhwc) is not "
+                         "shard_map-partitioned like the multiclass fused "
+                         "head loss — on real multi-chip TPU, profile it or "
+                         "export LOSS_SUMS_USE_PALLAS=0 so the jnp path "
+                         "partitions natively")
     return ap
 
 

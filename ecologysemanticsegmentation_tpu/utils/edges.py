@@ -10,19 +10,7 @@ from __future__ import annotations
 
 import os
 
-try:
-    import cv2
-except ImportError:  # cv2-optional: this analysis tool needs it at CALL time
-    class _Cv2Missing:  # noqa: D401 - attribute-access error trampoline
-        """Raises only when an analysis function actually touches cv2."""
-
-        def __getattr__(self, name):
-            raise RuntimeError(
-                "OpenCV (cv2) is required by this analysis utility "
-                f"(cv2.{name}); the core training/serving paths run "
-                "without it (data.imops)")
-
-    cv2 = _Cv2Missing()
+from ..data.imops import cv2_or_stub as cv2
 import numpy as np
 
 

@@ -198,17 +198,22 @@ def test_per_sample_variant_matches_singleton_calls(rng):
 
 
 def test_per_sample_env_flag_selects_trainer_augment(monkeypatch):
-    """AUGMENT_PER_SAMPLE=1 at import time routes the trainers to the
-    per-sample pipeline (module re-import; jit caches are keyed per
-    function object so the reload is isolated)."""
+    """AUGMENT_PER_SAMPLE=1 at import time routes the TRAINER's
+    ``augment_batch`` binding to the per-sample pipeline (module re-import;
+    jit caches are keyed per function object so the reload is isolated)."""
     import importlib
 
     from ecologysemanticsegmentation_tpu.data import augment as aug_mod
+    from ecologysemanticsegmentation_tpu.train import trainer as trainer_mod
 
     monkeypatch.setenv("AUGMENT_PER_SAMPLE", "1")
-    reloaded = importlib.reload(aug_mod)
     try:
-        assert reloaded.PER_SAMPLE is True
+        re_aug = importlib.reload(aug_mod)
+        re_trainer = importlib.reload(trainer_mod)
+        assert re_aug.PER_SAMPLE is True
+        assert re_trainer.augment_batch is re_aug.augment_batch_per_sample
     finally:
         monkeypatch.delenv("AUGMENT_PER_SAMPLE")
-        importlib.reload(aug_mod)
+        re_aug = importlib.reload(aug_mod)
+        re_trainer = importlib.reload(trainer_mod)
+    assert re_trainer.augment_batch is re_aug.augment_batch
