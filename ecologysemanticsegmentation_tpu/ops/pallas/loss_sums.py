@@ -28,6 +28,7 @@ Falls back to pure jnp off-TPU (same math, used by CPU tests via
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -195,15 +196,70 @@ def _bwd_vjp(interpret, res, cot):
     return dp[:, :n].astype(p.dtype), dg[:, :n].astype(g.dtype)
 
 
-def loss_sums_nhwc(probs: jax.Array, labels: jax.Array, use_pallas: bool | None = None):
+#: trace-time stack for :func:`spatial_mesh_context`; ``None`` entries
+#: suppress the redirection inside a shard body (reentrancy guard)
+_SPATIAL_STACK: list = []
+
+
+@contextlib.contextmanager
+def spatial_mesh_context(mesh, data_axis: str = "data", model_axis: str = "model"):
+    """Trace-time context: every :func:`loss_sums_nhwc` call inside it is
+    partitioned explicitly over ``mesh`` via :func:`loss_sums_nhwc_spatial`.
+    The trainers enter it around their losses_fn when ``--spatial_partition``
+    is active, so the composite/sequential loss paths — whose reductions are
+    reached through the parity-frozen ``seven_losses*`` signatures — shard
+    without threading a mesh through every loss function."""
+    _SPATIAL_STACK.append((mesh, data_axis, model_axis))
+    try:
+        yield
+    finally:
+        _SPATIAL_STACK.pop()
+
+
+def loss_sums_nhwc_spatial(probs: jax.Array, labels: jax.Array, mesh,
+                           data_axis: str = "data", model_axis: str = "model",
+                           use_pallas: bool | None = None,
+                           interpret: bool = False):
+    """:func:`loss_sums_nhwc` partitioned over a ``(data, model)`` mesh
+    (batch over ``data``, image rows over ``model`` — the
+    ``--spatial_partition`` layout).  A bare ``pallas_call`` is opaque to
+    GSPMD, so unwrapped the partitioner would gather the full-resolution
+    probs/labels per device; here each shard reduces its own rows (kernel or
+    jnp body, the normal selection) and one ``psum`` yields the global
+    ``(8, C)`` sums — exact because every row is a plain sum and the count
+    row composes additively."""
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(p, g):
+        _SPATIAL_STACK.append(None)  # the shard body must not re-enter
+        try:
+            part = loss_sums_nhwc(p, g, use_pallas=use_pallas,
+                                  interpret=interpret)
+        finally:
+            _SPATIAL_STACK.pop()
+        return jax.lax.psum(part, (data_axis, model_axis))
+
+    return jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(data_axis, model_axis), P(data_axis, model_axis)),
+        out_specs=P(None, None), check_vma=False,
+    )(probs, labels)
+
+
+def loss_sums_nhwc(probs: jax.Array, labels: jax.Array,
+                   use_pallas: bool | None = None, interpret: bool = False):
     """NHWC -> (8, C) sums.  ``use_pallas=None`` auto-selects: the Pallas
-    kernel on TPU, the jnp reference elsewhere (identical math).
-    ``LOSS_SUMS_USE_PALLAS=0`` forces the jnp path — useful under GSPMD
-    sharding (e.g. the sequential trainer's --spatial_partition), where a
-    bare pallas_call is opaque to the partitioner but the jnp reduction
-    partitions natively."""
+    kernel on TPU, the jnp reference elsewhere (identical math); ``interpret``
+    picks the kernel's execution mode when the kernel is selected (CPU
+    tests).  ``LOSS_SUMS_USE_PALLAS=0`` forces the jnp path (partitions
+    natively under GSPMD).  Inside :func:`spatial_mesh_context` the call
+    reroutes to :func:`loss_sums_nhwc_spatial`."""
     import os
 
+    if _SPATIAL_STACK and _SPATIAL_STACK[-1] is not None:
+        mesh, da, ma = _SPATIAL_STACK[-1]
+        return loss_sums_nhwc_spatial(probs, labels, mesh, da, ma,
+                                      use_pallas, interpret)
     c = probs.shape[-1]
     p = probs.reshape(-1, c).T
     g = labels.reshape(-1, c).T
@@ -213,4 +269,4 @@ def loss_sums_nhwc(probs: jax.Array, labels: jax.Array, use_pallas: bool | None 
                       not in ("0", "false"))
     if not use_pallas:
         return _sums_reference(p, g)
-    return fused_loss_sums(p, g, False)
+    return fused_loss_sums(p, g, interpret)

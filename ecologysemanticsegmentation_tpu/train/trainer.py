@@ -231,7 +231,17 @@ def make_train_step(
                 # scored with BCE against resized label pyramids.
                 out, ds_heads = out
             probs = jax.nn.sigmoid(out.astype(jnp.float32))
-            seven = seven_fn(probs, labels, bg_weight, jitters)
+            if spatial_mesh is not None:
+                # --spatial_partition on the full-resolution loss paths:
+                # reroute every loss_sums_nhwc reduction inside losses_fn
+                # through its shard_map form (trace-time context; the
+                # seven_losses* signatures stay parity-frozen).
+                from ..ops.pallas.loss_sums import spatial_mesh_context
+
+                with spatial_mesh_context(spatial_mesh):
+                    seven = seven_fn(probs, labels, bg_weight, jitters)
+            else:
+                seven = seven_fn(probs, labels, bg_weight, jitters)
             loss = (
                 gates3[0] * seven[6]          # focal_dice
                 + gates3[1] * seven[1]        # bce

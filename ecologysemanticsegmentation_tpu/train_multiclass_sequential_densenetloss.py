@@ -56,12 +56,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--spatial_partition", default=1, type=int,
                     help="shard image rows over a mesh 'model' axis of this "
                          "size (GSPMD spatial partitioning for IMGSIZE >> 256; "
-                         "1 = pure data parallelism).  NOTE: this trainer's "
-                         "composite loss kernel (loss_sums_nhwc) is not "
-                         "shard_map-partitioned like the multiclass fused "
-                         "head loss — on real multi-chip TPU, profile it or "
-                         "export LOSS_SUMS_USE_PALLAS=0 so the jnp path "
-                         "partitions natively")
+                         "1 = pure data parallelism).  The loss reductions "
+                         "shard explicitly too (loss_sums spatial_mesh_context)")
     return ap
 
 
@@ -122,6 +118,8 @@ def train(args=None):
         model, tx,
         composite_mode="sequential" if composite_flag else "none",
         augment=not args.no_augment,
+        spatial_mesh=(mesh if getattr(args, "spatial_partition", 1) > 1
+                      else None),
     )
     eval_step = make_eval_step(model, apply_union_reverse=False)
 
