@@ -125,7 +125,6 @@ def test_loss_sums_spatial_matches_global(data, mesh, body):
     paths' --spatial_partition form): values and gradients match the global
     reduction for both shard bodies."""
     from ecologysemanticsegmentation_tpu.ops.pallas.loss_sums import (
-        _sums_reference,
         loss_sums_nhwc,
         loss_sums_nhwc_spatial,
     )
