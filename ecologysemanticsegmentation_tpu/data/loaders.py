@@ -194,6 +194,30 @@ def _resize(img: np.ndarray, size: int) -> np.ndarray:
     return imops.resize_linear(img, (size, size))
 
 
+#: NATIVE_JPEG=1 routes .jpg reads through the native fused decode+resize
+#: (native/hostops.cpp): one C call replaces the imread+resize pair, no
+#: full-resolution intermediate crosses the Python boundary.  Opt-in perf
+#: knob (same pattern as AUGMENT_PER_SAMPLE): pixels agree with the cv2
+#: pair within the ±1-2 LSB class documented in data/imops.py, so the
+#: default stays on the exact-reference-semantics path.
+NATIVE_JPEG = os.environ.get("NATIVE_JPEG", "0").lower() not in (
+    "", "0", "false", "no", "none")
+
+
+def _read_resized(path: str, size: int) -> np.ndarray | None:
+    """imread + square resize; under NATIVE_JPEG=1, fused into one native
+    call for ``.jpg``/``.jpeg`` files (falls back to the generic path on
+    non-JPEG inputs or native decode failure)."""
+    if NATIVE_JPEG and path.lower().endswith((".jpg", ".jpeg")):
+        out = native.jpeg_read_resize(path, (size, size))
+        if out is not None:
+            return out
+    img = _imread(path)
+    if img is None:
+        return None
+    return _resize(img, size)
+
+
 # ---------------------------------------------------------------- alvaradolab
 
 def _parse_coco_txt(path: str) -> list[tuple[str, float, np.ndarray]] | None:
@@ -261,7 +285,7 @@ def get_alvaradolab_data(
 
     def decode(i: int):
         img_path, polys = items[i]
-        image = _resize(imops.imread_bgr(img_path), img_shape)
+        image = _read_resized(img_path, img_shape)
         mask = np.zeros((img_shape, img_shape, num_organs), np.float32)
         seen = set()
         for organ, poly in polys:
@@ -330,7 +354,7 @@ def get_ml_training_set_data(
 
     def decode(i: int):
         image_path, segment_paths = items[i]
-        image = _resize(_imread(image_path), img_shape)
+        image = _read_resized(image_path, img_shape)
         mask = np.full((img_shape, img_shape, len(organs)), -1.0, np.float32)
         for oi, organ in enumerate(organs):
             seg_path = segment_paths.get(organ)
@@ -387,7 +411,7 @@ def get_suim_data(
 
     def decode(i: int):
         image_path, seg_path = items[i]
-        image = _resize(imops.imread_bgr(image_path), img_shape)
+        image = _read_resized(image_path, img_shape)
         seg = imops.imread_bgr(seg_path)
         seg = imops.hsv_inrange_bgr(seg, (20, 100, 100), (30, 255, 255))
         seg = _resize(seg, img_shape)

@@ -29,14 +29,26 @@ def _load():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_LIB_PATH):
-                src = os.path.join(_NATIVE_DIR, "hostops.cpp")
+            src = os.path.join(_NATIVE_DIR, "hostops.cpp")
+            stale = (
+                os.path.exists(src)
+                and os.path.exists(_LIB_PATH)
+                and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+            )
+            if not os.path.exists(_LIB_PATH) or stale:
                 if not os.path.exists(src):
                     return None
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, src],
-                    check=True, capture_output=True, timeout=120,
-                )
+                cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, src]
+                try:
+                    subprocess.run(cmd + ["-ljpeg"], check=True,
+                                   capture_output=True, timeout=120)
+                except subprocess.CalledProcessError:
+                    # No libjpeg dev files: the JPEG entry points can't link.
+                    # The polygon/resize/binarize ops don't need them, so
+                    # compile those alone with the JPEG section preprocessed
+                    # out (jpeg_* Python wrappers then fall back to imops).
+                    subprocess.run(cmd + ["-DHOSTOPS_NO_JPEG"], check=True,
+                                   capture_output=True, timeout=120)
             lib = ctypes.CDLL(_LIB_PATH)
             lib.fill_polygon_u8.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -49,6 +61,33 @@ def _load():
             lib.binarize_count_u8.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint8]
             lib.binarize_count_u8.restype = ctypes.c_int64
             lib.u8_to_f32_norm.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            # JPEG entry points exist only when the lib linked against
+            # libjpeg; absent symbols raise AttributeError on first touch,
+            # so probe once and mark the capability.
+            try:
+                lib.jpeg_decode_resize_bgr.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ]
+                lib.jpeg_decode_resize_bgr.restype = ctypes.c_int64
+                lib.jpeg_read_resize_bgr.argtypes = [
+                    ctypes.c_char_p, ctypes.c_void_p,
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ]
+                lib.jpeg_read_resize_bgr.restype = ctypes.c_int64
+                lib.ring_create.argtypes = [
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64,
+                ]
+                lib.ring_create.restype = ctypes.c_void_p
+                lib.ring_submit.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+                lib.ring_submit.restype = ctypes.c_int64
+                lib.ring_get.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+                lib.ring_get.restype = ctypes.c_int64
+                lib.ring_destroy.argtypes = [ctypes.c_void_p]
+                lib._has_jpeg = True
+            except AttributeError:
+                lib._has_jpeg = False
             _lib = lib
         except Exception:  # noqa: BLE001 - toolchain optional
             _lib = None
@@ -117,3 +156,102 @@ def u8_to_f32(img: np.ndarray) -> np.ndarray:
     out = np.empty(img.shape, np.float32)
     lib.u8_to_f32_norm(img.ctypes.data, out.ctypes.data, img.size)
     return out
+
+
+# ------------------------------------------------------------- JPEG fast path
+
+
+def jpeg_available() -> bool:
+    """True when the native lib linked against libjpeg(-turbo)."""
+    lib = _load()
+    return lib is not None and getattr(lib, "_has_jpeg", False)
+
+
+def jpeg_read_resize(path: str, out_hw: tuple[int, int],
+                     fast_scale_to: int = 0) -> np.ndarray | None:
+    """Fused JPEG file read + decode + bilinear resize to (h, w, 3) BGR u8.
+
+    One native call replaces the reference's ``cv2.imread`` + ``cv2.resize``
+    pair (``fish_segmentation.py:60-61`` semantics): no full-resolution
+    intermediate crosses the Python boundary, and with ``fast_scale_to > 0``
+    libjpeg prescales in the DCT domain (M/8 IDCT scaling) before the
+    bilinear tap — the decode itself shrinks with the target size.
+
+    Pixels agree with the cv2 pair within the +/-1-2 LSB tolerance class the
+    repo's PIL fallback documents (data/imops.py:12-16).  Returns None when
+    the native path is unavailable or decode fails (callers fall back to
+    imops).
+    """
+    lib = _load()
+    if lib is None or not lib._has_jpeg:
+        return None
+    out = np.empty((out_hw[0], out_hw[1], 3), np.uint8)
+    rc = lib.jpeg_read_resize_bgr(path.encode(), out.ctypes.data,
+                                  out_hw[0], out_hw[1], fast_scale_to)
+    return out if rc == 0 else None
+
+
+def jpeg_decode_resize(buf: bytes | np.ndarray, out_hw: tuple[int, int],
+                       fast_scale_to: int = 0) -> np.ndarray | None:
+    """As :func:`jpeg_read_resize` but from an in-memory JPEG byte buffer."""
+    lib = _load()
+    if lib is None or not lib._has_jpeg:
+        return None
+    arr = np.frombuffer(buf, np.uint8) if isinstance(buf, bytes) else \
+        np.ascontiguousarray(buf, np.uint8)
+    out = np.empty((out_hw[0], out_hw[1], 3), np.uint8)
+    rc = lib.jpeg_decode_resize_bgr(arr.ctypes.data, arr.size, out.ctypes.data,
+                                    out_hw[0], out_hw[1], fast_scale_to)
+    return out if rc == 0 else None
+
+
+class DecodeRing:
+    """Threaded native JPEG decode ring (native/hostops.cpp ring_*).
+
+    The TPU-native form of the reference's 3 DataLoader worker processes
+    (``train_multiclass.py:374-376``): C worker threads read + decode +
+    resize into result slots entirely outside the GIL; ``submit`` is
+    non-blocking and returns a sequence number, ``get`` blocks until that
+    item is ready.  Backpressure sits at the decode stage — workers stall
+    while ``capacity`` decoded items are unconsumed — so a whole epoch's
+    file list can be submitted up front with pixel memory bounded by
+    ``capacity + n_threads`` images.  Results must therefore be consumed
+    roughly in submit order (a ``get`` more than ``capacity`` items ahead
+    of the oldest unconsumed one deadlocks; ordered batch iteration never
+    does that).
+
+    Use as a context manager; ``get`` returns None for files that failed to
+    read/decode (callers fall back to the generic imops path).
+    """
+
+    def __init__(self, out_hw: tuple[int, int], capacity: int = 64,
+                 n_threads: int = 3, fast_scale_to: int = 0):
+        lib = _load()
+        if lib is None or not lib._has_jpeg:
+            raise RuntimeError("native JPEG support unavailable "
+                               "(check native_available()/jpeg_available())")
+        self._lib = lib
+        self._hw = (int(out_hw[0]), int(out_hw[1]))
+        self._ptr = lib.ring_create(self._hw[0], self._hw[1],
+                                    capacity, n_threads, fast_scale_to)
+
+    def submit(self, path: str) -> int:
+        """Enqueue a file (non-blocking); returns its sequence number."""
+        return int(self._lib.ring_submit(self._ptr, path.encode()))
+
+    def get(self, seq: int) -> np.ndarray | None:
+        """Block until item `seq` is decoded; (h, w, 3) BGR u8 or None."""
+        out = np.empty((self._hw[0], self._hw[1], 3), np.uint8)
+        ok = self._lib.ring_get(self._ptr, seq, out.ctypes.data)
+        return out if ok else None
+
+    def close(self) -> None:
+        if self._ptr is not None:
+            self._lib.ring_destroy(self._ptr)
+            self._ptr = None
+
+    def __enter__(self) -> "DecodeRing":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -57,3 +57,84 @@ def test_u8_to_f32():
     out = native.u8_to_f32(img)
     np.testing.assert_allclose(out, [0.0, 128 / 255.0, 1.0], rtol=1e-6)
     assert out.dtype == np.float32
+
+
+# ----------------------------------------------------------- JPEG fast path
+
+
+@pytest.fixture(scope="module")
+def jpeg_file(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    if not native.jpeg_available():
+        pytest.skip("native lib built without libjpeg")
+    rng = np.random.RandomState(7)
+    img = cv2.GaussianBlur(
+        rng.randint(0, 256, (233, 347, 3), np.uint8), (7, 7), 3)
+    path = str(tmp_path_factory.mktemp("jpeg") / "img.jpg")
+    cv2.imwrite(path, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    return path
+
+
+def test_jpeg_read_resize_matches_cv2_pair(jpeg_file):
+    import cv2
+
+    ours = native.jpeg_read_resize(jpeg_file, (128, 96))
+    ref = cv2.resize(cv2.imread(jpeg_file), (96, 128))  # cv2 takes (w, h)
+    assert ours.shape == ref.shape == (128, 96, 3)
+    # Same IDCT family; bilinear rounding differs by the documented ±2 LSB
+    # tolerance class (data/imops.py:12-16, native/hostops.cpp).
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_jpeg_decode_resize_buffer_equals_file(jpeg_file):
+    with open(jpeg_file, "rb") as f:
+        buf = f.read()
+    from_buf = native.jpeg_decode_resize(buf, (64, 64))
+    from_file = native.jpeg_read_resize(jpeg_file, (64, 64))
+    np.testing.assert_array_equal(from_buf, from_file)
+
+
+def test_jpeg_fast_scale_mode_decodes(jpeg_file):
+    # DCT-domain prescale is a perf mode with different pixels (documented);
+    # assert it decodes and stays in the same image neighborhood.
+    exact = native.jpeg_read_resize(jpeg_file, (64, 64))
+    fast = native.jpeg_read_resize(jpeg_file, (64, 64), fast_scale_to=64)
+    assert fast is not None
+    assert np.abs(fast.astype(int) - exact.astype(int)).mean() < 16
+
+
+def test_jpeg_read_resize_bad_inputs(jpeg_file):
+    assert native.jpeg_read_resize("/nonexistent/file.jpg", (32, 32)) is None
+    assert native.jpeg_decode_resize(b"not a jpeg at all", (32, 32)) is None
+
+
+def test_decode_ring_epoch_submit_up_front(jpeg_file):
+    import cv2
+
+    ref = cv2.resize(cv2.imread(jpeg_file), (80, 80))
+    with native.DecodeRing((80, 80), capacity=4, n_threads=2) as ring:
+        seqs = [ring.submit(jpeg_file) for _ in range(12)]  # >> capacity
+        bad = ring.submit("/nonexistent.jpg")
+        outs = [ring.get(s) for s in seqs]  # consumed in submit order
+        assert ring.get(bad) is None
+    for out in outs:
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_decode_ring_close_with_pending_jobs(jpeg_file):
+    ring = native.DecodeRing((32, 32), capacity=2, n_threads=1)
+    seqs = [ring.submit(jpeg_file) for _ in range(8)]
+    assert ring.get(seqs[0]) is not None
+    ring.close()  # must drain + join without hanging
+    ring.close()  # idempotent
+
+
+def test_loader_native_jpeg_flag(jpeg_file, monkeypatch):
+    from ecologysemanticsegmentation_tpu.data import loaders
+
+    baseline = loaders._read_resized(jpeg_file, 64)
+    monkeypatch.setattr(loaders, "NATIVE_JPEG", True)
+    fused = loaders._read_resized(jpeg_file, 64)
+    assert np.abs(fused.astype(int) - baseline.astype(int)).max() <= 2
+    # non-JPEG paths fall back to the generic reader under the flag
+    assert loaders._read_resized("/nonexistent.png", 64) is None
