@@ -29,6 +29,12 @@ from ecologysemanticsegmentation_tpu.train import (
 
 ORGANS = 3
 CASES = ((512, 32), (1024, 8))
+# LIB_CASES=512 (comma list) restricts the sweep — the risky
+# augmentation-on remote compile only needs the 512px case.
+_sel = os.environ.get("LIB_CASES")
+if _sel:
+    keep = {int(x) for x in _sel.split(",") if x}
+    CASES = tuple(c for c in CASES if c[0] in keep)
 # The full step WITH device augmentation at 512px hit a pathological remote
 # compile (>60 min, killed); the large-image question is the model +
 # row-blocked head-loss path, so augmentation is off here by default.
