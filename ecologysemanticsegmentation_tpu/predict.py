@@ -172,3 +172,99 @@ class Predictor:
         if self.threshold is not None:
             result = (result > self.threshold).astype(np.float32)
         return result
+
+    def iter_files(self, paths, fast_scale: bool = False):
+        """Stream image FILES through the compiled forward; yields
+        ``(path, probs_or_None)`` in input order (None = unreadable file).
+
+        The bulk-scoring serving surface (the reference's closest analog is
+        the batch-1 ``test_video.py`` frame loop): JPEG decode runs on the
+        native decode ring (``data.native.DecodeRing`` — C worker threads,
+        fused decode+resize, no GIL) while the chip executes the previous
+        batch, and device dispatch is double-buffered so decode, H2D and
+        compute overlap.  Non-JPEG files (or hosts without the native lib)
+        decode inline through ``data.imops``.
+
+        ``fast_scale=True`` additionally enables libjpeg's DCT-domain
+        prescale — a perf mode whose pixels differ from the exact decode
+        (documented in native/hostops.cpp); default keeps the ±2 LSB class.
+        """
+        from .data import imops, native
+
+        paths = list(paths)
+        size = self.img_size
+        ring = None
+        if native.jpeg_available() and any(
+                p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+            ring = native.DecodeRing(
+                (size, size), capacity=2 * self.batch_size, n_threads=3,
+                fast_scale_to=size if fast_scale else 0)
+        try:
+            seq_for = [
+                ring.submit(p)
+                if ring is not None and p.lower().endswith((".jpg", ".jpeg"))
+                else None
+                for p in paths
+            ]
+
+            def decode(i: int):
+                if seq_for[i] is not None:
+                    return ring.get(seq_for[i])
+                img = imops.imread_bgr(paths[i])
+                return None if img is None else imops.resize_linear(
+                    img, (size, size))
+
+            def finish(pending):
+                chunk_paths, oks, probs = pending
+                probs = np.asarray(probs)  # forces device sync for THIS batch
+                if self.threshold is not None:
+                    probs = (probs > self.threshold).astype(np.float32)
+                for j, p in enumerate(chunk_paths):
+                    yield p, probs[j] if oks[j] else None
+
+            pending = None
+            for start in range(0, len(paths), self.batch_size):
+                idxs = range(start, min(start + self.batch_size, len(paths)))
+                imgs, oks, chunk_paths = [], [], []
+                for i in idxs:
+                    im = decode(i)
+                    oks.append(im is not None)
+                    imgs.append(
+                        im if im is not None
+                        else np.zeros((size, size, 3), np.uint8))
+                    chunk_paths.append(paths[i])
+                chunk = np.stack(imgs).astype(np.float32) / 255.0
+                pad = self.batch_size - len(chunk)
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+                # dispatch (async under jit) BEFORE syncing the previous
+                # batch: decode+H2D of batch k+1 overlaps compute of batch k
+                probs = self._forward(self._state, chunk)
+                if pending is not None:
+                    yield from finish(pending)
+                pending = (chunk_paths, oks, probs)
+            if pending is not None:
+                yield from finish(pending)
+        finally:
+            if ring is not None:
+                ring.close()
+
+    def predict_files(self, paths, fast_scale: bool = False):
+        """Bulk-score files: returns ``(probs (N,S,S,C), ok (N,) bool)``;
+        rows with ``ok=False`` (unreadable files) are zero-filled.  Streams
+        via :meth:`iter_files`, so peak memory is the output array."""
+        paths = list(paths)
+        n_classes = None
+        rows, oks = [], []
+        for _, probs in self.iter_files(paths, fast_scale=fast_scale):
+            if probs is not None and n_classes is None:
+                n_classes = probs.shape[-1]
+            rows.append(probs)
+            oks.append(probs is not None)
+        if n_classes is None:
+            n_classes = 1
+        blank = np.zeros((self.img_size, self.img_size, n_classes), np.float32)
+        out = np.stack([r if r is not None else blank for r in rows]) \
+            if rows else np.zeros((0,) + blank.shape, np.float32)
+        return out, np.asarray(oks, bool)

@@ -76,6 +76,45 @@ def test_predictor_fold_bn_matches_unfolded(tmp_path, rng):
     np.testing.assert_allclose(folded(x), plain(x), atol=0.02)
 
 
+def test_predict_files_streams_in_order(tmp_path, rng):
+    """iter_files/predict_files: ring-decoded JPEGs + PNG fallback + an
+    unreadable path, results matching __call__ on the same decoded pixels."""
+    cv2 = __import__("cv2")
+
+    p = _mini_predictor(tmp_path)
+    paths = []
+    for i in range(6):  # 6 files -> 2 ragged batches of 4
+        img = (rng.rand(50, 40, 3) * 255).astype(np.uint8)
+        img = cv2.GaussianBlur(img, (5, 5), 2)
+        path = str(tmp_path / (f"f{i}.jpg" if i % 2 == 0 else f"f{i}.png"))
+        cv2.imwrite(path, img)
+        paths.append(path)
+    paths.insert(3, str(tmp_path / "missing.jpg"))
+
+    got = list(p.iter_files(paths))
+    assert [g[0] for g in got] == paths
+    assert got[3][1] is None  # unreadable
+    ref_imgs = np.stack([
+        cv2.resize(cv2.imread(q), (32, 32))
+        for q in paths if "missing" not in q])
+    ref = p(ref_imgs)
+    k = 0
+    for path, probs in got:
+        if "missing" in path:
+            continue
+        assert probs.shape == (32, 32, 2)
+        # decode path differs by <=2 LSB in uint8 input; bf16 forward keeps
+        # the output within a small probability tolerance
+        np.testing.assert_allclose(probs, ref[k], atol=0.05)
+        k += 1
+
+    out, ok = p.predict_files(paths)
+    assert out.shape == (7, 32, 32, 2)
+    np.testing.assert_array_equal(
+        ok, [True, True, True, False, True, True, True])
+    assert (out[3] == 0).all()
+
+
 def test_resize_pil_fallback_matches_cv2(monkeypatch, rng):
     """Serving must work without OpenCV: the PIL resize fallback is
     numerically identical to cv2.resize (same half-pixel convention)."""
