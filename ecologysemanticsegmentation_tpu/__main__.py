@@ -13,6 +13,7 @@ Entry points (python -m ecologysemanticsegmentation_tpu.<name>):
   test_multiclass                            checkpoint-sweep Dice evaluator
   test_multiclass_sequential_densenetloss    union-reverse evaluator (+edge analysis)
   test_video                                 video -> frames -> segment -> video
+  predict <ckpt> <files...>                  bulk file scorer (streaming serving path)
   utils.grad_cam <epoch>                     per-organ CAM overlays
   data.fish_dataset                          dataset inspection / relative ratios
   utils.hsv_picker <image>                   interactive HSV probe

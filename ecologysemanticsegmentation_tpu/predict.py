@@ -45,7 +45,7 @@ class Predictor:
     def __init__(self, model, state, img_size: int = 256, batch_size: int = 16,
                  union_reverse: bool = False, threshold: float | None = None,
                  fold_bn: bool = True, freeze_weights: bool = True,
-                 int8: bool = False, calibration_images=None):
+                 int8: bool = False, calibration_images=None, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -54,6 +54,23 @@ class Predictor:
         self.img_size = img_size
         self.batch_size = batch_size
         self.threshold = threshold
+        # Data-parallel serving: shard the batch over the mesh's leading
+        # axis (weights replicated — they're jit constants in the baked
+        # path, so XLA broadcasts them once at load).  Multi-chip TPU
+        # serving without a serving framework: the padded-batch contract
+        # already guarantees the fixed, divisible global batch.
+        jit_shard_kw = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n_data = mesh.shape[mesh.axis_names[0]]
+            if batch_size % n_data != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the mesh's "
+                    f"{mesh.axis_names[0]} axis ({n_data})")
+            shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            jit_shard_kw = {"in_shardings": shard, "out_shardings": shard}
+        self._mesh = mesh
         if fold_bn:
             # Inference-only: pre-multiply BN scale/stats into the conv
             # kernels (models/fold_bn.py) — the per-channel BN multiply
@@ -97,7 +114,8 @@ class Predictor:
                     qfn, self.n_quantized = quantize_for_serving(
                         model, variables, calib)
                     self._int8_fn = jax.jit(
-                        lambda im: postprocess(qfn(im.astype(jnp.bfloat16))))
+                        lambda im: postprocess(qfn(im.astype(jnp.bfloat16))),
+                        **jit_shard_kw)
                     self._calib = None
                 return self._int8_fn(images)
 
@@ -111,13 +129,22 @@ class Predictor:
             # conv epilogue); the win comes from constant-baking.
             variables = {"params": self._state.params,
                          "batch_stats": self._state.batch_stats}
-            baked = jax.jit(lambda images: apply(variables, images))
+            baked = jax.jit(lambda images: apply(variables, images),
+                            **jit_shard_kw)
             self._forward = lambda _state, images: baked(images)
         else:
+            if jit_shard_kw:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                # replicate the state tree (prefix pytree spec), shard images
+                jit_shard_kw["in_shardings"] = (
+                    NamedSharding(mesh, PartitionSpec()),
+                    jit_shard_kw["in_shardings"])
             self._forward = jax.jit(
                 lambda state, images: apply(
                     {"params": state.params,
-                     "batch_stats": state.batch_stats}, images))
+                     "batch_stats": state.batch_stats}, images),
+                **jit_shard_kw)
 
     @classmethod
     def from_checkpoint(
@@ -268,3 +295,108 @@ class Predictor:
         out = np.stack([r if r is not None else blank for r in rows]) \
             if rows else np.zeros((0,) + blank.shape, np.float32)
         return out, np.asarray(oks, bool)
+
+
+def build_argparser():
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m ecologysemanticsegmentation_tpu.predict",
+        description="Bulk-score image files with a trained checkpoint: "
+        "streams files through the compiled forward (native JPEG decode "
+        "ring + double-buffered dispatch) and writes per-organ masks.")
+    ap.add_argument("model_path", help="checkpoint file to load")
+    ap.add_argument("files", nargs="+", help="image files to score")
+    ap.add_argument("--result_dir", default="predictions")
+    ap.add_argument("--model", default="deeplabv3plus")
+    ap.add_argument("--encoder", default="resnet34")
+    ap.add_argument("--depthwiseconv", action="store_true")
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--threshold", type=float, default=None,
+                    help="binarize probabilities at this value")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve with post-training int8 quantization")
+    ap.add_argument("--union_reverse", action="store_true",
+                    help="undo the union-set label transform (sequential models)")
+    ap.add_argument("--fast_scale", action="store_true",
+                    help="libjpeg DCT-domain prescale (faster, ±few-LSB pixels)")
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="shard each serving batch over ALL local devices "
+                    "(batch_size must divide evenly)")
+    ap.add_argument("--overlay", action="store_true",
+                    help="also write an organ-colored overlay per image")
+    ap.add_argument("--npy", action="store_true",
+                    help="also write raw (S,S,C) probabilities as .npy")
+    ap.add_argument("--platform", default=None)
+    return ap
+
+
+def main(args=None):
+    """CLI: the serving-path analog of the eval scripts' PNG dumps
+    (reference ``test_multiclass.py:94-102`` writes overlays from inside the
+    eval sweep; this scores arbitrary files against one checkpoint)."""
+    import os
+
+    args = args if args is not None else build_argparser().parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from .config import EnvConfig
+    from .data import imops
+
+    cfg = EnvConfig.from_env()
+    organs = list(cfg.organs)
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from .parallel import create_mesh
+
+        if jax.device_count() > 1:
+            mesh = create_mesh()
+    predictor = Predictor.from_checkpoint(
+        args.model_path, num_classes=cfg.num_classes, model_name=args.model,
+        encoder_name=args.encoder, depthwise=args.depthwiseconv,
+        img_size=cfg.img_size, batch_size=args.batch_size,
+        threshold=args.threshold, int8=args.int8,
+        union_reverse=args.union_reverse, mesh=mesh)
+    os.makedirs(args.result_dir, exist_ok=True)
+
+    n_ok = 0
+    for path, probs in predictor.iter_files(args.files,
+                                            fast_scale=args.fast_scale):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        if probs is None:
+            print(f"{path}: unreadable, skipped")
+            continue
+        n_ok += 1
+        mask8 = np.clip(probs * 255.0, 0, 255).astype(np.uint8)
+        for c in range(probs.shape[-1]):
+            name = organs[c] if c < len(organs) else f"class{c}"
+            imops.imwrite_bgr(
+                os.path.join(args.result_dir, f"{stem}_{name}.png"),
+                mask8[..., c])
+        if args.npy:
+            np.save(os.path.join(args.result_dir, f"{stem}_probs.npy"), probs)
+        if args.overlay:
+            from .utils import display_composite_annotations
+
+            img = imops.imread_bgr(path)
+            img = imops.resize_linear(img, (cfg.img_size, cfg.img_size))
+            entries = display_composite_annotations(
+                img[..., ::-1], mask8, organs, verbose=False)
+            over = entries[-1][next(iter(entries[-1]))]
+            imops.imwrite_bgr(
+                os.path.join(args.result_dir, f"{stem}_overlay.png"),
+                over[..., ::-1])
+        cover = " ".join(
+            f"{organs[c] if c < len(organs) else c}={probs[..., c].mean():.3f}"
+            for c in range(probs.shape[-1]))
+        print(f"{path}: {cover}")
+    print(f"scored {n_ok}/{len(args.files)} files -> {args.result_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,68 @@ def test_predict_files_streams_in_order(tmp_path, rng):
     assert (out[3] == 0).all()
 
 
+def test_predictor_mesh_data_parallel(tmp_path, rng):
+    """mesh= shards the serving batch over the mesh's data axis; outputs
+    match single-device within bf16 recompilation noise, and a
+    non-divisible batch_size is rejected up front."""
+    import pytest
+
+    from ecologysemanticsegmentation_tpu.parallel import create_mesh
+
+    model = build_model("unet", num_classes=2)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, 32, 32, 3), make_optimizer())
+    mesh = create_mesh()  # all 8 virtual devices, pure DP
+    x = rng.rand(11, 32, 32, 3).astype(np.float32)
+
+    single = Predictor(model, state, img_size=32, batch_size=8)
+    sharded = Predictor(model, state, img_size=32, batch_size=8, mesh=mesh)
+    np.testing.assert_allclose(sharded(x), single(x), atol=2e-3)
+
+    unfrozen = Predictor(model, state, img_size=32, batch_size=8, mesh=mesh,
+                         freeze_weights=False)
+    np.testing.assert_allclose(unfrozen(x), single(x), atol=2e-3)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        Predictor(model, state, img_size=32, batch_size=6, mesh=mesh)
+
+
+def test_predict_cli_writes_masks(tmp_path, rng, monkeypatch):
+    """The predict CLI scores files against a checkpoint and writes
+    per-organ mask PNGs + optional overlay/npy; unreadable paths skip."""
+    import cv2
+
+    from ecologysemanticsegmentation_tpu import predict as predict_cli
+
+    model = build_model("unet", num_classes=2)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, 32, 32, 3), make_optimizer())
+    save_checkpoint(str(tmp_path), "p", 3, state)
+    img = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "a.jpg"), img)
+    cv2.imwrite(str(tmp_path / "b.png"), img)
+
+    monkeypatch.setenv("ORGANS", "whole_body,ventral_side")
+    monkeypatch.setenv("IMGSIZE", "32")
+    out = tmp_path / "preds"
+    args = predict_cli.build_argparser().parse_args([
+        str(tmp_path / "p_epoch3.ckpt"), str(tmp_path / "a.jpg"),
+        str(tmp_path / "b.png"), str(tmp_path / "missing.jpg"),
+        "--model", "unet", "--result_dir", str(out),
+        "--batch_size", "2", "--npy", "--overlay",
+    ])
+    predict_cli.main(args)
+
+    for stem in ("a", "b"):
+        for organ in ("whole_body", "ventral_side"):
+            mask = cv2.imread(str(out / f"{stem}_{organ}.png"),
+                              cv2.IMREAD_GRAYSCALE)
+            assert mask is not None and mask.shape == (32, 32)
+        assert np.load(str(out / f"{stem}_probs.npy")).shape == (32, 32, 2)
+        assert cv2.imread(str(out / f"{stem}_overlay.png")).shape == (32, 32, 3)
+    assert not (out / "missing_whole_body.png").exists()
+
+
 def test_resize_pil_fallback_matches_cv2(monkeypatch, rng):
     """Serving must work without OpenCV: the PIL resize fallback is
     numerically identical to cv2.resize (same half-pixel convention)."""
