@@ -57,6 +57,32 @@ def _devices_with_watchdog(timeout_s: float = 600.0):
     return box[0]
 
 
+def _run_bounded(fn, timeout_s: float, what: str):
+    """Run ``fn`` in a daemon thread bounded by ``timeout_s`` — same wedge
+    protection as init, applied to the first compile+execute (a terminal
+    that wedges AFTER init otherwise hangs the bench with no output)."""
+    import threading
+
+    box: list = []
+
+    def _target():
+        try:
+            box.append((True, fn()))
+        except Exception as e:  # noqa: BLE001 - reported in the JSON line
+            box.append((False, e))
+
+    t = threading.Thread(target=_target, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not box:
+        raise TimeoutError(f"{what} exceeded {timeout_s:.0f}s "
+                           "(wedged remote TPU terminal?)")
+    ok, val = box[0]
+    if not ok:
+        raise val
+    return val
+
+
 def main(batch_size: int | None = None, steps: int = 20, warmup: int = 3) -> dict:
     try:
         _devices_with_watchdog()
@@ -116,12 +142,31 @@ def main(batch_size: int | None = None, steps: int = 20, warmup: int = 3) -> dic
             state, batch, jax.random.PRNGKey(i), 0.3, gates3, 3e-4, jitters
         )
 
-    for i in range(warmup):
-        state, metrics = step(state, i)
-    # NOTE: force a device->host value fetch, not just block_until_ready —
-    # on the experimental remote-TPU platform block_until_ready returns
-    # before execution completes, which silently inflates throughput ~50x.
-    float(metrics["loss"])
+    def _warmup():
+        nonlocal state
+        metrics = None
+        for i in range(warmup):
+            state, metrics = step(state, i)
+        # NOTE: force a device->host value fetch, not just block_until_ready —
+        # on the experimental remote-TPU platform block_until_ready returns
+        # before execution completes, which silently inflates throughput ~50x.
+        return float(metrics["loss"])
+
+    try:
+        # remote compiles of the full step take 3-5 min; 20 min = wedged
+        _run_bounded(_warmup, 1200.0, "train-step compile/warmup")
+    except Exception as e:
+        result = {
+            "metric": "train_images_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "img/s",
+            "vs_baseline": 0.0,
+            "extra": {"error": f"compile/warmup failed: {e}",
+                      "last_good_measurement": "1845.8 img/s "
+                      "(experiments/bench_shipped_r3.log, pre-incident)"},
+        }
+        print(json.dumps(result))
+        return result
 
     t0 = time.perf_counter()
     for i in range(steps):

@@ -45,7 +45,8 @@ class Predictor:
     def __init__(self, model, state, img_size: int = 256, batch_size: int = 16,
                  union_reverse: bool = False, threshold: float | None = None,
                  fold_bn: bool = True, freeze_weights: bool = True,
-                 int8: bool = False, calibration_images=None, mesh=None):
+                 int8: bool = False, calibration_images=None, mesh=None,
+                 num_classes: int | None = None):
         import jax
         import jax.numpy as jnp
 
@@ -54,6 +55,10 @@ class Predictor:
         self.img_size = img_size
         self.batch_size = batch_size
         self.threshold = threshold
+        # Known output channel count (None = discover from the first
+        # successful forward) — lets predict_files shape its zero-fill
+        # correctly even when every input file is unreadable.
+        self.num_classes = num_classes
         # Data-parallel serving: shard the batch over the mesh's leading
         # axis (weights replicated — they're jit constants in the baked
         # path, so XLA broadcasts them once at load).  Multi-chip TPU
@@ -167,7 +172,8 @@ class Predictor:
         state = load_checkpoint_file(checkpoint_path, template)
         if state is None:
             raise ValueError(f"failed to load checkpoint: {checkpoint_path}")
-        return cls(model, state, img_size=img_size, batch_size=batch_size, **kw)
+        return cls(model, state, img_size=img_size, batch_size=batch_size,
+                   num_classes=num_classes, **kw)
 
     def _prepare(self, images: np.ndarray) -> np.ndarray:
         images = np.asarray(images)
@@ -200,9 +206,14 @@ class Predictor:
             result = (result > self.threshold).astype(np.float32)
         return result
 
-    def iter_files(self, paths, fast_scale: bool = False):
+    def iter_files(self, paths, fast_scale: bool = False,
+                   with_images: bool = False):
         """Stream image FILES through the compiled forward; yields
         ``(path, probs_or_None)`` in input order (None = unreadable file).
+        With ``with_images=True`` yields ``(path, probs, img)`` where
+        ``img`` is the decoded (size, size, 3) BGR uint8 pixels (None for
+        unreadable files) — consumers that also need the pixels (overlays)
+        avoid a second decode.
 
         The bulk-scoring serving surface (the reference's closest analog is
         the batch-1 ``test_video.py`` frame loop): JPEG decode runs on the
@@ -236,18 +247,27 @@ class Predictor:
 
             def decode(i: int):
                 if seq_for[i] is not None:
-                    return ring.get(seq_for[i])
+                    img = ring.get(seq_for[i])
+                    if img is not None:
+                        return img
+                    # libjpeg couldn't decode (e.g. a PNG misnamed .jpg,
+                    # CMYK JPEG): fall back to the generic decoder before
+                    # declaring the file unreadable, like the loaders do.
                 img = imops.imread_bgr(paths[i])
                 return None if img is None else imops.resize_linear(
                     img, (size, size))
 
             def finish(pending):
-                chunk_paths, oks, probs = pending
+                chunk_paths, oks, probs, imgs = pending
                 probs = np.asarray(probs)  # forces device sync for THIS batch
                 if self.threshold is not None:
                     probs = (probs > self.threshold).astype(np.float32)
                 for j, p in enumerate(chunk_paths):
-                    yield p, probs[j] if oks[j] else None
+                    row = probs[j] if oks[j] else None
+                    if with_images:
+                        yield p, row, imgs[j] if oks[j] else None
+                    else:
+                        yield p, row
 
             pending = None
             for start in range(0, len(paths), self.batch_size):
@@ -270,7 +290,8 @@ class Predictor:
                 probs = self._forward(self._state, chunk)
                 if pending is not None:
                     yield from finish(pending)
-                pending = (chunk_paths, oks, probs)
+                pending = (chunk_paths, oks, probs,
+                           imgs if with_images else None)
             if pending is not None:
                 yield from finish(pending)
         finally:
@@ -282,7 +303,7 @@ class Predictor:
         rows with ``ok=False`` (unreadable files) are zero-filled.  Streams
         via :meth:`iter_files`, so peak memory is the output array."""
         paths = list(paths)
-        n_classes = None
+        n_classes = self.num_classes
         rows, oks = [], []
         for _, probs in self.iter_files(paths, fast_scale=fast_scale):
             if probs is not None and n_classes is None:
@@ -365,8 +386,8 @@ def main(args=None):
     os.makedirs(args.result_dir, exist_ok=True)
 
     n_ok = 0
-    for path, probs in predictor.iter_files(args.files,
-                                            fast_scale=args.fast_scale):
+    for path, probs, img in predictor.iter_files(
+            args.files, fast_scale=args.fast_scale, with_images=True):
         stem = os.path.splitext(os.path.basename(path))[0]
         if probs is None:
             print(f"{path}: unreadable, skipped")
@@ -383,10 +404,12 @@ def main(args=None):
         if args.overlay:
             from .utils import display_composite_annotations
 
-            img = imops.imread_bgr(path)
-            img = imops.resize_linear(img, (cfg.img_size, cfg.img_size))
+            # the visualizer binarizes channels with `// 255`, so feed it
+            # {0,255} masks (probability heatmaps would render near-empty)
+            thr = args.threshold if args.threshold is not None else 0.5
+            bin8 = ((probs >= thr) * np.uint8(255)).astype(np.uint8)
             entries = display_composite_annotations(
-                img[..., ::-1], mask8, organs, verbose=False)
+                img[..., ::-1], bin8, organs, verbose=False)
             over = entries[-1][next(iter(entries[-1]))]
             imops.imwrite_bgr(
                 os.path.join(args.result_dir, f"{stem}_overlay.png"),

@@ -54,6 +54,26 @@ def test_watchdog_times_out_on_hanging_init(monkeypatch):
     assert raised
 
 
+def test_run_bounded_watchdog():
+    """The compile/warmup stage has the same wedge protection as init:
+    values pass through, exceptions re-raise, hangs become TimeoutError."""
+    import pytest
+
+    bench = _load_bench()
+    assert bench._run_bounded(lambda: 42, 5.0, "x") == 42
+    with pytest.raises(ValueError, match="boom"):
+        bench._run_bounded(
+            lambda: (_ for _ in ()).throw(ValueError("boom")), 5.0, "x")
+
+    def hang():
+        import time
+
+        time.sleep(3600)
+
+    with pytest.raises(TimeoutError, match="wedged"):
+        bench._run_bounded(hang, 0.5, "compile")
+
+
 def test_result_schema_fields():
     """The driver parses metric/value/unit/vs_baseline; pin the schema."""
     bench = _load_bench()

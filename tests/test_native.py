@@ -129,6 +129,40 @@ def test_decode_ring_close_with_pending_jobs(jpeg_file):
     ring.close()  # idempotent
 
 
+def test_decode_ring_use_after_close_raises(jpeg_file):
+    ring = native.DecodeRing((32, 32), capacity=2, n_threads=1)
+    seq = ring.submit(jpeg_file)
+    assert ring.get(seq) is not None
+    ring.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        ring.submit(jpeg_file)
+    with pytest.raises(RuntimeError, match="closed"):
+        ring.get(seq)
+
+
+def test_load_keeps_existing_lib_when_rebuild_fails(monkeypatch):
+    """A stale-source rebuild attempt that fails (no g++ on the host) must
+    fall back to loading the existing .so, not degrade to the slow path."""
+    if not native.native_available():
+        pytest.skip("native lib unavailable")
+
+    def no_toolchain(*a, **k):
+        raise FileNotFoundError("g++ not found")
+
+    orig_lib, orig_tried = native._lib, native._tried
+    try:
+        native._lib, native._tried = None, False
+        monkeypatch.setattr(native.subprocess, "run", no_toolchain)
+        # make the source look newer than the built library
+        monkeypatch.setattr(
+            native.os.path, "getmtime",
+            lambda p: 0.0 if p.endswith(".so") else 1.0)
+        lib = native._load()
+        assert lib is not None
+    finally:
+        native._lib, native._tried = orig_lib, orig_tried
+
+
 def test_loader_native_jpeg_flag(jpeg_file, monkeypatch):
     from ecologysemanticsegmentation_tpu.data import loaders
 

@@ -115,6 +115,38 @@ def test_predict_files_streams_in_order(tmp_path, rng):
     assert (out[3] == 0).all()
 
 
+def test_iter_files_misnamed_jpg_falls_back(tmp_path, rng):
+    """A PNG saved with a .jpg extension must fall back from the native
+    libjpeg ring to the generic decoder instead of scoring as unreadable;
+    with_images=True yields the decoded pixels alongside the probs."""
+    import cv2
+
+    p = _mini_predictor(tmp_path)
+    img = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+    ok_png, buf = cv2.imencode(".png", img)
+    assert ok_png
+    misnamed = tmp_path / "actually_a_png.jpg"
+    misnamed.write_bytes(buf.tobytes())
+
+    got = list(p.iter_files([str(misnamed)], with_images=True))
+    assert len(got) == 1
+    path, probs, decoded = got[0]
+    assert probs is not None and probs.shape == (32, 32, 2)
+    ref = cv2.resize(img, (32, 32))
+    assert decoded.shape == (32, 32, 3)
+    assert np.abs(decoded.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_predict_files_all_unreadable_keeps_channel_count(tmp_path):
+    """predict_files must zero-fill with the MODEL's channel count even
+    when no file decodes (num_classes plumbs through from_checkpoint)."""
+    p = _mini_predictor(tmp_path)
+    out, ok = p.predict_files([str(tmp_path / "nope1.jpg"),
+                               str(tmp_path / "nope2.png")])
+    assert out.shape == (2, 32, 32, 2)
+    assert not ok.any() and (out == 0).all()
+
+
 def test_predictor_mesh_data_parallel(tmp_path, rng):
     """mesh= shards the serving batch over the mesh's data axis; outputs
     match single-device within bf16 recompilation noise, and a
@@ -175,6 +207,42 @@ def test_predict_cli_writes_masks(tmp_path, rng, monkeypatch):
         assert np.load(str(out / f"{stem}_probs.npy")).shape == (32, 32, 2)
         assert cv2.imread(str(out / f"{stem}_overlay.png")).shape == (32, 32, 3)
     assert not (out / "missing_whole_body.png").exists()
+
+
+def test_predict_cli_overlay_masks_are_binary(tmp_path, rng, monkeypatch):
+    """--overlay must feed {0,255} masks to the visualizer (it binarizes
+    channels with `// 255`, so probability heatmaps would render empty)."""
+    import cv2
+
+    from ecologysemanticsegmentation_tpu import predict as predict_cli
+    from ecologysemanticsegmentation_tpu import utils as utils_mod
+
+    model = build_model("unet", num_classes=2)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, 32, 32, 3), make_optimizer())
+    save_checkpoint(str(tmp_path), "p", 3, state)
+    cv2.imwrite(str(tmp_path / "a.png"),
+                (rng.rand(48, 48, 3) * 255).astype(np.uint8))
+
+    seen = []
+    real = utils_mod.display_composite_annotations
+
+    def spy(img, masks, organs, **kw):
+        seen.append(np.asarray(masks).copy())
+        return real(img, masks, organs, **kw)
+
+    monkeypatch.setattr(utils_mod, "display_composite_annotations", spy)
+    monkeypatch.setenv("ORGANS", "whole_body,ventral_side")
+    monkeypatch.setenv("IMGSIZE", "32")
+    args = predict_cli.build_argparser().parse_args([
+        str(tmp_path / "p_epoch3.ckpt"), str(tmp_path / "a.png"),
+        "--model", "unet", "--result_dir", str(tmp_path / "preds"),
+        "--batch_size", "2", "--overlay",
+    ])
+    predict_cli.main(args)
+
+    assert len(seen) == 1
+    assert set(np.unique(seen[0])).issubset({0, 255})
 
 
 def test_resize_pil_fallback_matches_cv2(monkeypatch, rng):
