@@ -136,6 +136,7 @@ class Predictor:
                          "batch_stats": self._state.batch_stats}
             baked = jax.jit(lambda images: apply(variables, images),
                             **jit_shard_kw)
+            self._baked = baked
             self._forward = lambda _state, images: baked(images)
         else:
             if jit_shard_kw:
@@ -174,6 +175,60 @@ class Predictor:
             raise ValueError(f"failed to load checkpoint: {checkpoint_path}")
         return cls(model, state, img_size=img_size, batch_size=batch_size,
                    num_classes=num_classes, **kw)
+
+    def export_compiled(self, path: str) -> None:
+        """Serialize the serving forward as a portable StableHLO artifact
+        (``jax.export``).  The folded weights travel inside the program as
+        constants, so :meth:`from_exported` serves it with NO model code,
+        checkpoint, or flax at load time — the TPU-native analog of a
+        TorchScript serving export.  Requires the baked path
+        (``freeze_weights=True``, the default) or a calibrated int8
+        Predictor; the artifact is platform-specific (exported for the
+        platform it was built on).
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax import export as jexport
+
+        if self._mesh is not None:
+            raise ValueError(
+                "export_compiled supports single-device Predictors; "
+                "pass mesh= at load time on the serving host instead")
+        fn = getattr(self, "_baked", None) or getattr(self, "_int8_fn", None)
+        if fn is None:
+            raise ValueError(
+                "export_compiled needs the baked forward: construct with "
+                "freeze_weights=True (default), or serve one batch first "
+                "for the lazily-calibrated int8 path")
+        spec = jax.ShapeDtypeStruct(
+            (self.batch_size, self.img_size, self.img_size, 3), jnp.float32)
+        exported = jexport.export(fn)(spec)
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+
+    @classmethod
+    def from_exported(cls, path: str,
+                      threshold: float | None = None) -> "Predictor":
+        """Serve from an :meth:`export_compiled` artifact — no model code,
+        flax modules, or checkpoint needed; batch/image size and channel
+        count come from the serialized signature."""
+        import jax
+        from jax import export as jexport
+
+        with open(path, "rb") as f:
+            exported = jexport.deserialize(bytearray(f.read()))
+        (b, s, _, _) = exported.in_avals[0].shape
+        self = cls.__new__(cls)
+        self.img_size = int(s)
+        self.batch_size = int(b)
+        self.threshold = threshold
+        self.num_classes = int(exported.out_avals[0].shape[-1])
+        self._mesh = None
+        self._state = None
+        call = jax.jit(exported.call)
+        self._baked = call
+        self._forward = lambda _state, images: call(images)
+        return self
 
     def _prepare(self, images: np.ndarray) -> np.ndarray:
         images = np.asarray(images)
@@ -326,8 +381,10 @@ def build_argparser():
         description="Bulk-score image files with a trained checkpoint: "
         "streams files through the compiled forward (native JPEG decode "
         "ring + double-buffered dispatch) and writes per-organ masks.")
-    ap.add_argument("model_path", help="checkpoint file to load")
-    ap.add_argument("files", nargs="+", help="image files to score")
+    ap.add_argument("model_path",
+                    help="checkpoint file to load (or an exported serving "
+                    "artifact with --from_exported)")
+    ap.add_argument("files", nargs="*", help="image files to score")
     ap.add_argument("--result_dir", default="predictions")
     ap.add_argument("--model", default="deeplabv3plus")
     ap.add_argument("--encoder", default="resnet34")
@@ -348,6 +405,13 @@ def build_argparser():
                     help="also write an organ-colored overlay per image")
     ap.add_argument("--npy", action="store_true",
                     help="also write raw (S,S,C) probabilities as .npy")
+    ap.add_argument("--export_compiled", default=None, metavar="PATH",
+                    help="serialize the compiled serving forward (weights "
+                    "baked as constants) to PATH; scoring continues if "
+                    "files were given")
+    ap.add_argument("--from_exported", action="store_true",
+                    help="model_path is an --export_compiled artifact "
+                    "(no model code or checkpoint needed)")
     ap.add_argument("--platform", default=None)
     return ap
 
@@ -369,20 +433,29 @@ def main(args=None):
 
     cfg = EnvConfig.from_env()
     organs = list(cfg.organs)
-    mesh = None
-    if args.data_parallel:
-        import jax
+    if args.from_exported:
+        predictor = Predictor.from_exported(
+            args.model_path, threshold=args.threshold)
+    else:
+        mesh = None
+        if args.data_parallel:
+            import jax
 
-        from .parallel import create_mesh
+            from .parallel import create_mesh
 
-        if jax.device_count() > 1:
-            mesh = create_mesh()
-    predictor = Predictor.from_checkpoint(
-        args.model_path, num_classes=cfg.num_classes, model_name=args.model,
-        encoder_name=args.encoder, depthwise=args.depthwiseconv,
-        img_size=cfg.img_size, batch_size=args.batch_size,
-        threshold=args.threshold, int8=args.int8,
-        union_reverse=args.union_reverse, mesh=mesh)
+            if jax.device_count() > 1:
+                mesh = create_mesh()
+        predictor = Predictor.from_checkpoint(
+            args.model_path, num_classes=cfg.num_classes, model_name=args.model,
+            encoder_name=args.encoder, depthwise=args.depthwiseconv,
+            img_size=cfg.img_size, batch_size=args.batch_size,
+            threshold=args.threshold, int8=args.int8,
+            union_reverse=args.union_reverse, mesh=mesh)
+    if args.export_compiled:
+        predictor.export_compiled(args.export_compiled)
+        print(f"exported compiled serving artifact -> {args.export_compiled}")
+        if not args.files:
+            return
     os.makedirs(args.result_dir, exist_ok=True)
 
     n_ok = 0

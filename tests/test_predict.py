@@ -209,6 +209,61 @@ def test_predict_cli_writes_masks(tmp_path, rng, monkeypatch):
     assert not (out / "missing_whole_body.png").exists()
 
 
+def test_export_compiled_round_trip(tmp_path, rng):
+    """export_compiled serializes the baked forward as a StableHLO artifact;
+    from_exported serves it bit-identically with no model code, recovering
+    batch/image size and channel count from the serialized signature."""
+    import pytest
+
+    p = _mini_predictor(tmp_path)
+    art = tmp_path / "serve.stablehlo"
+    p.export_compiled(str(art))
+    assert art.stat().st_size > 1000
+
+    q = Predictor.from_exported(str(art))
+    assert (q.img_size, q.batch_size, q.num_classes) == (32, 4, 2)
+    x = rng.rand(6, 32, 32, 3).astype(np.float32)
+    np.testing.assert_array_equal(q(x), p(x))
+
+    # the unfrozen path has no baked program to export
+    model = build_model("unet", num_classes=2)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, 32, 32, 3), make_optimizer())
+    with pytest.raises(ValueError, match="freeze_weights"):
+        Predictor(model, state, img_size=32, batch_size=4,
+                  freeze_weights=False).export_compiled(str(art))
+
+
+def test_predict_cli_export_and_serve_from_artifact(tmp_path, rng, monkeypatch):
+    """CLI: --export_compiled writes the artifact (no files needed);
+    --from_exported scores files from it without model flags."""
+    import cv2
+
+    from ecologysemanticsegmentation_tpu import predict as predict_cli
+
+    model = build_model("unet", num_classes=2)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, 32, 32, 3), make_optimizer())
+    save_checkpoint(str(tmp_path), "p", 3, state)
+    monkeypatch.setenv("ORGANS", "whole_body,ventral_side")
+    monkeypatch.setenv("IMGSIZE", "32")
+
+    art = tmp_path / "serve.stablehlo"
+    predict_cli.main(predict_cli.build_argparser().parse_args([
+        str(tmp_path / "p_epoch3.ckpt"), "--model", "unet",
+        "--batch_size", "2", "--export_compiled", str(art)]))
+    assert art.exists()
+
+    cv2.imwrite(str(tmp_path / "a.png"),
+                (rng.rand(48, 48, 3) * 255).astype(np.uint8))
+    out = tmp_path / "preds"
+    predict_cli.main(predict_cli.build_argparser().parse_args([
+        str(art), str(tmp_path / "a.png"), "--from_exported",
+        "--result_dir", str(out)]))
+    mask = cv2.imread(str(out / "a_whole_body.png"), cv2.IMREAD_GRAYSCALE)
+    assert mask is not None and mask.shape == (32, 32)
+
+
 def test_predict_cli_overlay_masks_are_binary(tmp_path, rng, monkeypatch):
     """--overlay must feed {0,255} masks to the visualizer (it binarizes
     channels with `// 255`, so probability heatmaps would render empty)."""
