@@ -176,15 +176,16 @@ class Predictor:
         return cls(model, state, img_size=img_size, batch_size=batch_size,
                    num_classes=num_classes, **kw)
 
-    def export_compiled(self, path: str) -> None:
+    def export_compiled(self, path: str, platforms=None) -> None:
         """Serialize the serving forward as a portable StableHLO artifact
         (``jax.export``).  The folded weights travel inside the program as
         constants, so :meth:`from_exported` serves it with NO model code,
         checkpoint, or flax at load time — the TPU-native analog of a
         TorchScript serving export.  Requires the baked path
         (``freeze_weights=True``, the default) or a calibrated int8
-        Predictor; the artifact is platform-specific (exported for the
-        platform it was built on).
+        Predictor; by default the artifact is lowered for the platform it
+        was built on — pass ``platforms=["cpu", "tpu"]`` for a portable
+        artifact that loads on either.
         """
         import jax
         import jax.numpy as jnp
@@ -202,7 +203,8 @@ class Predictor:
                 "for the lazily-calibrated int8 path")
         spec = jax.ShapeDtypeStruct(
             (self.batch_size, self.img_size, self.img_size, 3), jnp.float32)
-        exported = jexport.export(fn)(spec)
+        kw = {"platforms": tuple(platforms)} if platforms else {}
+        exported = jexport.export(fn, **kw)(spec)
         with open(path, "wb") as f:
             f.write(exported.serialize())
 
