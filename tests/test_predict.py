@@ -234,6 +234,22 @@ def test_export_compiled_round_trip(tmp_path, rng):
                   freeze_weights=False).export_compiled(str(art))
 
 
+def test_export_compiled_int8_after_calibration(tmp_path, rng):
+    """A lazily-calibrated int8 Predictor exports once it has served a
+    batch (the quantized program exists then); before that it refuses."""
+    import pytest
+
+    p = _mini_predictor(tmp_path, int8=True)
+    art = tmp_path / "int8.stablehlo"
+    with pytest.raises(ValueError, match="int8"):
+        p.export_compiled(str(art))
+    x = rng.rand(4, 32, 32, 3).astype(np.float32)
+    a = p(x)  # triggers calibration + compile
+    p.export_compiled(str(art))
+    q = Predictor.from_exported(str(art))
+    np.testing.assert_array_equal(q(x), a)
+
+
 def test_predict_cli_export_and_serve_from_artifact(tmp_path, rng, monkeypatch):
     """CLI: --export_compiled writes the artifact (no files needed);
     --from_exported scores files from it without model flags."""
