@@ -119,9 +119,12 @@ class EnvConfig:
         if img_size is None:
             # README spelling fallback (README.md:36 says IMG_SIZE).
             img_size = get_env_variable("IMG_SIZE", 256)
-        organs = tuple(
-            x for x in str(get_env_variable("ORGANS", "whole_body")).split(",") if x
-        )
+        # Keep empty entries: the reference splits without filtering
+        # (``dataset/fish/__init__.py:19``) and its README documents
+        # ``ORGANS=whole_body,,`` as the way to run a 3-channel model
+        # scoring only channel 0 — empty names match no dataset masks, so
+        # those channels come back all -1 (ignore) and "will not be learnt".
+        organs = tuple(str(get_env_variable("ORGANS", "whole_body")).split(","))
         bbox_dir = get_env_variable("BBOX_DIR", None)
         return EnvConfig(
             sample=_env_bool("SAMPLE", False),

@@ -27,6 +27,17 @@ def test_env_config_parsing():
     assert c.num_classes == 3
 
 
+def test_organs_trailing_commas_keep_placeholder_channels():
+    """Reference README workflow (`ORGANS=whole_body,,` → a 3-channel model
+    scoring only channel 0): empty entries are kept, matching the
+    reference's unfiltered split (dataset/fish/__init__.py:19); empty names
+    match no dataset masks, so those channels are all -1 (ignore)."""
+    with mock.patch.dict(os.environ, {"ORGANS": "whole_body,,"}, clear=True):
+        c = config.EnvConfig.from_env()
+    assert c.organs == ("whole_body", "", "")
+    assert c.num_classes == 3
+
+
 def test_sample_zero_is_falsy():
     """Documented deviation from the reference's bool(str) truthiness bug."""
     for val in ("0", "false", "", "no"):
