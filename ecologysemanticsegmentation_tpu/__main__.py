@@ -15,6 +15,7 @@ Entry points (python -m ecologysemanticsegmentation_tpu.<name>):
   test_video                                 video -> frames -> segment -> video
   predict <ckpt> <files...>                  bulk file scorer (streaming serving path)
   utils.grad_cam <epoch>                     per-organ CAM overlays
+  utils.gt_repair scan|flag|rebuild          GT bbox-problem detector / realigner
   data.fish_dataset                          dataset inspection / relative ratios
   utils.hsv_picker <image>                   interactive HSV probe
 

@@ -126,6 +126,82 @@ def rebuild_bbox_dataset(
     return results
 
 
+def find_bbox_problems_in_dataset(dataset, threshold: int = 5) -> list[str]:
+    """Flag dataset items whose (island-cleaned) first-channel mask bbox
+    spans ≈ the full image — the reference's
+    ``python -m ...dataset.bbox_masks_problem`` __main__
+    (``bbox_masks_problem.py:54-68``: binarize, bbox, flag when the side
+    deltas sum under ``2*threshold``; its H/W cross-compare is equivalent
+    on the square post-resize masks both frameworks produce)."""
+    flagged = []
+    for _, mask, path in dataset:
+        chan = (np.asarray(mask)[..., 0] > 0).astype(np.uint8)
+        cleaned = remove_islands_in_segment_gt(chan)
+        bbox = get_bounding_box_from_mask(cleaned)
+        if bbox is None:
+            continue
+        _, _, w, h = bbox
+        if abs(w - chan.shape[1]) + abs(h - chan.shape[0]) < 2 * threshold:
+            flagged.append(path)
+    return flagged
+
+
+def main(argv=None):
+    """Dataset-tools CLI (reference README "Dataset Tools" section):
+    ``scan`` = the bbox-masks-problem detector over a dataset split,
+    ``flag`` = the same detector over a directory of mask files,
+    ``rebuild`` = the manual-bbox re-alignment writer
+    (``manual_bbox_identification.py`` as a runnable tool instead of
+    import-time hardcoded paths)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m ecologysemanticsegmentation_tpu.utils.gt_repair")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    s = sub.add_parser("scan", help="print dataset items whose GT mask bbox "
+                       "spans ~the full image (mis-cropped annotations)")
+    s.add_argument("--split", default="test",
+                   choices=["train", "val", "test"])
+    s.add_argument("--dataset", default=None,
+                   help="'synthetic' for the fixture dataset")
+    s.add_argument("--threshold", type=int, default=5)
+    f = sub.add_parser("flag", help="print mask FILES whose bbox covers "
+                       "~the whole image")
+    f.add_argument("--mask_dir", required=True)
+    f.add_argument("--ratio", type=float, default=0.95)
+    r = sub.add_parser("rebuild", help="re-align cropped masks against full "
+                       "images; writes a bbox_to_segmentation_gt dataset "
+                       "consumable via BBOX_DIR")
+    r.add_argument("--full_images", required=True)
+    r.add_argument("--crops", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--organ", default="whole body")
+    args = ap.parse_args(argv)
+
+    if args.cmd == "scan":
+        from ..data import get_split_datasets
+
+        splits = get_split_datasets(
+            synthetic=(args.dataset == "synthetic"))
+        ds = splits[("train", "val", "test").index(args.split)]
+        flagged = find_bbox_problems_in_dataset(ds, threshold=args.threshold)
+        for path in flagged:
+            print(path)
+        print(f"flagged {len(flagged)}/{len(ds)} items")
+    elif args.cmd == "flag":
+        flagged = find_bbox_mask_problems(args.mask_dir,
+                                          full_image_ratio=args.ratio)
+        for path in flagged:
+            print(path)
+        print(f"flagged {len(flagged)} files")
+    else:
+        results = rebuild_bbox_dataset(args.full_images, args.crops,
+                                       args.out, organ=args.organ)
+        for out_path, x, y in results:
+            print(f"{out_path}: offset ({x}, {y})")
+        print(f"rebuilt {len(results)} masks -> {args.out}")
+
+
 def reference_bbox_images(data_root: str) -> list[str]:
     """Absolute paths of the alvaradolab images named by the reference's
     bbox-annotation table (``dataset/resources/composite_bboxes.py``,
@@ -149,3 +225,7 @@ def reference_bbox_images(data_root: str) -> list[str]:
             if line and not line.startswith("#"):
                 paths.append(os.path.join(data_root, line))
     return paths
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,27 @@ def test_bbox_helpers(tmp_path):
     assert [f.endswith("bad.png") for f in flagged] == [True]
 
 
+def test_find_bbox_problems_in_dataset_and_cli(tmp_path, capsys, monkeypatch):
+    """The dataset-scan detector (reference bbox_masks_problem __main__)
+    flags items whose island-cleaned mask bbox spans ~the full image, and
+    the gt_repair CLI drives it over the synthetic dataset."""
+    from ecologysemanticsegmentation_tpu.utils import gt_repair
+
+    full = np.zeros((128, 128, 1), np.float32)
+    full[1:127, 2:126, 0] = 1.0  # bbox ~ whole image -> flagged
+    small = np.zeros((128, 128, 1), np.float32)
+    small[20:80, 20:80, 0] = 1.0  # area 3600 survives island removal
+    ds = [(None, full, "bad.png"), (None, small, "good.png")]
+    assert gt_repair.find_bbox_problems_in_dataset(ds) == ["bad.png"]
+
+    monkeypatch.setenv("ORGANS", "whole_body")
+    monkeypatch.setenv("IMGSIZE", "64")
+    monkeypatch.setenv("SAMPLE", "1")
+    gt_repair.main(["scan", "--dataset", "synthetic", "--split", "test"])
+    out = capsys.readouterr().out
+    assert "items" in out.splitlines()[-1]
+
+
 def test_realign_cropped_mask():
     img, mask = _fish()
     crop = img[20:70, 10:80]
