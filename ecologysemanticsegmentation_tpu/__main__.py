@@ -13,6 +13,7 @@ Entry points (python -m ecologysemanticsegmentation_tpu.<name>):
   test_multiclass                            checkpoint-sweep Dice evaluator
   test_multiclass_sequential_densenetloss    union-reverse evaluator (+edge analysis)
   test_video                                 video -> frames -> segment -> video
+  train                                      alias of train_multiclass (README.md:38 command)
   predict <ckpt> <files...>                  bulk file scorer (streaming serving path)
   utils.grad_cam <epoch>                     per-organ CAM overlays
   utils.gt_repair scan|flag|rebuild          GT bbox-problem detector / realigner
