@@ -436,6 +436,10 @@ def main(args=None):
     cfg = EnvConfig.from_env()
     organs = list(cfg.organs)
     if args.from_exported:
+        if args.data_parallel:
+            print("--data_parallel is ignored with --from_exported "
+                  "(the artifact was traced single-device; serve the "
+                  "checkpoint with --data_parallel for sharded batches)")
         predictor = Predictor.from_exported(
             args.model_path, threshold=args.threshold)
     else:
