@@ -206,10 +206,11 @@ NATIVE_JPEG = os.environ.get("NATIVE_JPEG", "0").lower() not in (
 
 def _read_resized(path: str, size: int) -> np.ndarray | None:
     """imread + square resize; under NATIVE_JPEG=1, fused into one native
-    call for ``.jpg``/``.jpeg`` files (falls back to the generic path on
-    non-JPEG inputs or native decode failure)."""
-    if NATIVE_JPEG and path.lower().endswith((".jpg", ".jpeg")):
-        out = native.jpeg_read_resize(path, (size, size))
+    call for the formats the native lib decodes (JPEG; PNG too when built
+    with libpng) — falls back to the generic path on other inputs or
+    native decode failure."""
+    if NATIVE_JPEG and path.lower().endswith(native.ring_extensions()):
+        out = native.image_read_resize(path, (size, size))
         if out is not None:
             return out
     img = _imread(path)

@@ -40,14 +40,17 @@ def _load():
                     return None
                 cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, src]
                 built = False
-                # Try full build first; without libjpeg dev files the JPEG
-                # entry points can't link, so retry with the JPEG section
-                # preprocessed out (jpeg_* wrappers then fall back to imops).
+                # Try the fullest build first, degrading: no libpng dev
+                # files -> JPEG-only; no libjpeg either -> the pure
+                # compute ops with the image section preprocessed out
+                # (jpeg_*/image_* wrappers then fall back to imops).
                 # ANY build failure (missing g++, timeout, compile error)
                 # must not discard a previously working .so — fall through
                 # to loading whatever exists on disk.
                 if os.path.exists(src):
-                    for extra in (["-ljpeg"], ["-DHOSTOPS_NO_JPEG"]):
+                    for extra in (["-ljpeg", "-lpng"],
+                                  ["-ljpeg", "-DHOSTOPS_NO_PNG"],
+                                  ["-DHOSTOPS_NO_JPEG", "-DHOSTOPS_NO_PNG"]):
                         try:
                             subprocess.run(cmd + extra, check=True,
                                            capture_output=True, timeout=120)
@@ -93,9 +96,19 @@ def _load():
                 lib.ring_get.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
                 lib.ring_get.restype = ctypes.c_int64
                 lib.ring_destroy.argtypes = [ctypes.c_void_p]
+                lib.image_read_resize_bgr.argtypes = [
+                    ctypes.c_char_p, ctypes.c_void_p,
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ]
+                lib.image_read_resize_bgr.restype = ctypes.c_int64
+                lib.hostops_has_png.restype = ctypes.c_int64
                 lib._has_jpeg = True
+                lib._has_png = bool(lib.hostops_has_png())
             except AttributeError:
-                lib._has_jpeg = False
+                # An older prebuilt .so may lack the image_*/png probe
+                # symbols even though the jpeg_* set linked.
+                lib._has_jpeg = hasattr(lib, "ring_create")
+                lib._has_png = False
             _lib = lib
         except Exception:  # noqa: BLE001 - toolchain optional
             _lib = None
@@ -175,6 +188,35 @@ def jpeg_available() -> bool:
     return lib is not None and getattr(lib, "_has_jpeg", False)
 
 
+def png_available() -> bool:
+    """True when the native lib also linked libpng (PNG rides the same
+    fused read+decode+resize path and the decode ring)."""
+    lib = _load()
+    return lib is not None and getattr(lib, "_has_png", False)
+
+
+def ring_extensions() -> tuple[str, ...]:
+    """File extensions the native decode path (and DecodeRing) handles."""
+    if not jpeg_available():
+        return ()
+    return (".jpg", ".jpeg") + ((".png",) if png_available() else ())
+
+
+def image_read_resize(path: str, out_hw: tuple[int, int],
+                      fast_scale_to: int = 0) -> np.ndarray | None:
+    """Fused file read + decode + bilinear resize for ANY supported format
+    (magic-byte sniffed: JPEG, and PNG when libpng linked) to (h, w, 3)
+    BGR u8.  Returns None when unavailable or decode fails (callers fall
+    back to imops).  ``fast_scale_to`` applies to JPEGs only."""
+    lib = _load()
+    if lib is None or not lib._has_jpeg or not hasattr(lib, "image_read_resize_bgr"):
+        return None
+    out = np.empty((out_hw[0], out_hw[1], 3), np.uint8)
+    rc = lib.image_read_resize_bgr(path.encode(), out.ctypes.data,
+                                   out_hw[0], out_hw[1], fast_scale_to)
+    return out if rc == 0 else None
+
+
 def jpeg_read_resize(path: str, out_hw: tuple[int, int],
                      fast_scale_to: int = 0) -> np.ndarray | None:
     """Fused JPEG file read + decode + bilinear resize to (h, w, 3) BGR u8.
@@ -214,7 +256,8 @@ def jpeg_decode_resize(buf: bytes | np.ndarray, out_hw: tuple[int, int],
 
 
 class DecodeRing:
-    """Threaded native JPEG decode ring (native/hostops.cpp ring_*).
+    """Threaded native image decode ring (native/hostops.cpp ring_*) —
+    JPEG, plus PNG when the lib linked libpng (see :func:`ring_extensions`).
 
     The TPU-native form of the reference's 3 DataLoader worker processes
     (``train_multiclass.py:374-376``): C worker threads read + decode +

@@ -289,15 +289,15 @@ class Predictor:
         paths = list(paths)
         size = self.img_size
         ring = None
-        if native.jpeg_available() and any(
-                p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+        ring_exts = native.ring_extensions()  # .jpg/.jpeg (+.png w/ libpng)
+        if ring_exts and any(p.lower().endswith(ring_exts) for p in paths):
             ring = native.DecodeRing(
                 (size, size), capacity=2 * self.batch_size, n_threads=3,
                 fast_scale_to=size if fast_scale else 0)
         try:
             seq_for = [
                 ring.submit(p)
-                if ring is not None and p.lower().endswith((".jpg", ".jpeg"))
+                if ring is not None and p.lower().endswith(ring_exts)
                 else None
                 for p in paths
             ]

@@ -9,14 +9,15 @@
 //   * box-filtered uint8 resize (mask downscale),
 //   * mask binarize + area count in one pass,
 //   * batched HWC->NHWC float conversion with /255 normalization,
-//   * fused JPEG decode + bilinear resize (libjpeg-turbo) and a threaded
-//     decode ring that overlaps file I/O + IDCT with device compute — the
-//     TPU-native form of the reference's 3 DataLoader worker processes
+//   * fused image decode + bilinear resize (libjpeg-turbo + libpng,
+//     magic-byte sniffed) and a threaded decode ring that overlaps file
+//     I/O + decode with device compute — the TPU-native form of the
+//     reference's 3 DataLoader worker processes
 //     (train_multiclass.py:374-376): worker *threads* into preallocated
 //     slots, no forks, no tensor pickling.
 //
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
-// Build: see native/build.sh (g++ -O3 -shared -fPIC -ljpeg).
+// Build: see native/build.sh (g++ -O3 -shared -fPIC -ljpeg -lpng).
 
 #include <cstdint>
 #include <cstdio>
@@ -35,6 +36,9 @@
 
 #ifndef HOSTOPS_NO_JPEG
 #include <jpeglib.h>
+#ifndef HOSTOPS_NO_PNG
+#include <png.h>
+#endif
 #endif
 
 extern "C" {
@@ -237,6 +241,44 @@ bool decode_jpeg_bgr(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
   return true;
 }
 
+#ifndef HOSTOPS_NO_PNG
+// Decode a PNG from memory into a full-resolution BGR buffer (libpng
+// simplified API).  Alpha, if present, is composited against black — a
+// documented deviation from cv2.imread(IMREAD_COLOR), which simply drops
+// the alpha channel; identical for the opaque PNGs the datasets use.
+bool decode_png_bgr(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
+                    int64_t* rows, int64_t* cols) {
+  png_image image;
+  std::memset(&image, 0, sizeof image);
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&image, data, len)) return false;
+  image.format = PNG_FORMAT_BGR;
+  out->resize(PNG_IMAGE_SIZE(image));
+  png_color black = {0, 0, 0};
+  if (!png_image_finish_read(&image, &black, out->data(), 0, nullptr)) {
+    png_image_free(&image);
+    return false;
+  }
+  *rows = image.height;
+  *cols = image.width;
+  return true;
+}
+#endif  // HOSTOPS_NO_PNG
+
+// Magic-byte dispatch: JPEG or (when built with libpng) PNG.
+bool decode_image_bgr(const uint8_t* data, size_t len,
+                      std::vector<uint8_t>* out, int64_t* rows, int64_t* cols,
+                      int64_t fast_scale_to) {
+  if (len >= 3 && data[0] == 0xFF && data[1] == 0xD8 && data[2] == 0xFF)
+    return decode_jpeg_bgr(data, len, out, rows, cols, fast_scale_to);
+#ifndef HOSTOPS_NO_PNG
+  if (len >= 4 && data[0] == 0x89 && data[1] == 'P' && data[2] == 'N' &&
+      data[3] == 'G')
+    return decode_png_bgr(data, len, out, rows, cols);
+#endif
+  return false;
+}
+
 bool read_file(const char* path, std::vector<uint8_t>* buf) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
@@ -277,6 +319,29 @@ int64_t jpeg_read_resize_bgr(const char* path, uint8_t* out, int64_t oh,
   if (!read_file(path, &buf)) return -1;
   return jpeg_decode_resize_bgr(buf.data(), (int64_t)buf.size(), out, oh, ow,
                                 fast_scale_to);
+}
+
+// Read ANY supported image file (magic-byte sniffed: JPEG, and PNG when
+// built with libpng) and decode+resize to (oh, ow) BGR u8.  Returns 0 / -1.
+int64_t image_read_resize_bgr(const char* path, uint8_t* out, int64_t oh,
+                              int64_t ow, int64_t fast_scale_to) {
+  std::vector<uint8_t> buf, full;
+  int64_t rows = 0, cols = 0;
+  if (!read_file(path, &buf)) return -1;
+  if (!decode_image_bgr(buf.data(), buf.size(), &full, &rows, &cols,
+                        fast_scale_to))
+    return -1;
+  resize_bilinear_u8(full.data(), rows, cols, 3, out, oh, ow);
+  return 0;
+}
+
+// 1 when PNG decode is compiled in (libpng linked), else 0.
+int64_t hostops_has_png(void) {
+#ifndef HOSTOPS_NO_PNG
+  return 1;
+#else
+  return 0;
+#endif
 }
 
 // ---------------------------------------------------------------------------
@@ -329,8 +394,8 @@ struct Ring {
       int64_t rows = 0, cols = 0;
       std::vector<uint8_t> full;
       if (read_file(job.second.c_str(), &buf) &&
-          decode_jpeg_bgr(buf.data(), buf.size(), &full, &rows, &cols,
-                          fast_scale_to)) {
+          decode_image_bgr(buf.data(), buf.size(), &full, &rows, &cols,
+                           fast_scale_to)) {
         item.pixels.resize((size_t)(oh * ow * 3));
         resize_bilinear_u8(full.data(), rows, cols, 3, item.pixels.data(), oh,
                            ow);
