@@ -414,8 +414,112 @@ def build_argparser():
     ap.add_argument("--from_exported", action="store_true",
                     help="model_path is an --export_compiled artifact "
                     "(no model code or checkpoint needed)")
+    ap.add_argument("--watch", action="store_true",
+                    help="treat the given paths as directories/files to "
+                    "POLL: score new images as they appear (Ctrl-C stops)")
+    ap.add_argument("--poll_interval", type=float, default=2.0,
+                    help="seconds between --watch directory scans")
+    ap.add_argument("--watch_rounds", type=int, default=0,
+                    help="stop --watch after N scans (0 = run forever)")
     ap.add_argument("--platform", default=None)
     return ap
+
+
+_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff")
+
+
+def _score_files(predictor, files, args, organs):
+    """Score ``files`` through the streaming path and write the per-organ
+    mask PNGs (+ optional overlay/npy) to ``args.result_dir``; returns the
+    number successfully scored."""
+    import os
+
+    from .data import imops
+
+    n_ok = 0
+    for path, probs, img in predictor.iter_files(
+            files, fast_scale=args.fast_scale, with_images=True):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        if probs is None:
+            print(f"{path}: unreadable, skipped")
+            continue
+        n_ok += 1
+        mask8 = np.clip(probs * 255.0, 0, 255).astype(np.uint8)
+        for c in range(probs.shape[-1]):
+            name = organs[c] if c < len(organs) else f"class{c}"
+            imops.imwrite_bgr(
+                os.path.join(args.result_dir, f"{stem}_{name}.png"),
+                mask8[..., c])
+        if args.npy:
+            np.save(os.path.join(args.result_dir, f"{stem}_probs.npy"), probs)
+        if args.overlay:
+            from .utils import display_composite_annotations
+
+            # the visualizer binarizes channels with `// 255`, so feed it
+            # {0,255} masks (probability heatmaps would render near-empty)
+            thr = args.threshold if args.threshold is not None else 0.5
+            bin8 = ((probs >= thr) * np.uint8(255)).astype(np.uint8)
+            entries = display_composite_annotations(
+                img[..., ::-1], bin8, organs, verbose=False)
+            over = entries[-1][next(iter(entries[-1]))]
+            imops.imwrite_bgr(
+                os.path.join(args.result_dir, f"{stem}_overlay.png"),
+                over[..., ::-1])
+        cover = " ".join(
+            f"{organs[c] if c < len(organs) else c}={probs[..., c].mean():.3f}"
+            for c in range(probs.shape[-1]))
+        print(f"{path}: {cover}")
+    return n_ok
+
+
+def _watch_loop(predictor, roots, args, organs):
+    """Poll ``roots`` (directories or files) and score images as they
+    appear — continuous serving over a drop directory.  A file is picked
+    up once its mtime has been stable for one poll (writers still copying
+    are retried next scan); already-scored paths are remembered."""
+    import os
+    import time
+
+    seen: dict[str, float] = {}   # path -> mtime at scoring time
+    pending: dict[str, float] = {}  # path -> last observed mtime
+    rounds = 0
+    print(f"watching {roots} every {args.poll_interval}s "
+          f"({'forever' if not args.watch_rounds else f'{args.watch_rounds} scans'})")
+    while True:
+        candidates = []
+        for root in roots:
+            if os.path.isdir(root):
+                for name in sorted(os.listdir(root)):
+                    if name.lower().endswith(_IMAGE_EXTS):
+                        candidates.append(os.path.join(root, name))
+            elif os.path.exists(root):
+                candidates.append(root)
+        ready = []
+        for p in candidates:
+            try:
+                mtime = os.path.getmtime(p)
+            except OSError:
+                continue
+            if seen.get(p) == mtime:
+                continue  # already scored this version
+            if pending.get(p) == mtime:
+                ready.append(p)  # stable across one poll
+                del pending[p]
+            else:
+                pending[p] = mtime  # new or still being written
+        if ready:
+            n = _score_files(predictor, ready, args, organs)
+            for p in ready:
+                try:
+                    seen[p] = os.path.getmtime(p)
+                except OSError:
+                    pass
+            print(f"scan: scored {n}/{len(ready)} new files "
+                  f"-> {args.result_dir}")
+        rounds += 1
+        if args.watch_rounds and rounds >= args.watch_rounds:
+            return
+        time.sleep(args.poll_interval)
 
 
 def main(args=None):
@@ -431,7 +535,6 @@ def main(args=None):
         jax.config.update("jax_platforms", args.platform)
 
     from .config import EnvConfig
-    from .data import imops
 
     cfg = EnvConfig.from_env()
     organs = list(cfg.organs)
@@ -464,39 +567,10 @@ def main(args=None):
             return
     os.makedirs(args.result_dir, exist_ok=True)
 
-    n_ok = 0
-    for path, probs, img in predictor.iter_files(
-            args.files, fast_scale=args.fast_scale, with_images=True):
-        stem = os.path.splitext(os.path.basename(path))[0]
-        if probs is None:
-            print(f"{path}: unreadable, skipped")
-            continue
-        n_ok += 1
-        mask8 = np.clip(probs * 255.0, 0, 255).astype(np.uint8)
-        for c in range(probs.shape[-1]):
-            name = organs[c] if c < len(organs) else f"class{c}"
-            imops.imwrite_bgr(
-                os.path.join(args.result_dir, f"{stem}_{name}.png"),
-                mask8[..., c])
-        if args.npy:
-            np.save(os.path.join(args.result_dir, f"{stem}_probs.npy"), probs)
-        if args.overlay:
-            from .utils import display_composite_annotations
-
-            # the visualizer binarizes channels with `// 255`, so feed it
-            # {0,255} masks (probability heatmaps would render near-empty)
-            thr = args.threshold if args.threshold is not None else 0.5
-            bin8 = ((probs >= thr) * np.uint8(255)).astype(np.uint8)
-            entries = display_composite_annotations(
-                img[..., ::-1], bin8, organs, verbose=False)
-            over = entries[-1][next(iter(entries[-1]))]
-            imops.imwrite_bgr(
-                os.path.join(args.result_dir, f"{stem}_overlay.png"),
-                over[..., ::-1])
-        cover = " ".join(
-            f"{organs[c] if c < len(organs) else c}={probs[..., c].mean():.3f}"
-            for c in range(probs.shape[-1]))
-        print(f"{path}: {cover}")
+    if args.watch:
+        _watch_loop(predictor, args.files, args, organs)
+        return
+    n_ok = _score_files(predictor, args.files, args, organs)
     print(f"scored {n_ok}/{len(args.files)} files -> {args.result_dir}")
 
 

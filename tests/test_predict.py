@@ -316,6 +316,54 @@ def test_predict_cli_overlay_masks_are_binary(tmp_path, rng, monkeypatch):
     assert set(np.unique(seen[0])).issubset({0, 255})
 
 
+def test_predict_cli_watch_scores_new_files(tmp_path, rng, monkeypatch):
+    """--watch polls a drop directory: a file is scored once its mtime is
+    stable across one poll, each version scored once, unreadable skipped."""
+    import os
+
+    import cv2
+
+    from ecologysemanticsegmentation_tpu import predict as predict_cli
+
+    model = build_model("unet", num_classes=2)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, 32, 32, 3), make_optimizer())
+    save_checkpoint(str(tmp_path), "p", 3, state)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    img = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    cv2.imwrite(str(drop / "a.png"), img)
+
+    monkeypatch.setenv("ORGANS", "whole_body,ventral_side")
+    monkeypatch.setenv("IMGSIZE", "32")
+    out = tmp_path / "preds"
+    args = predict_cli.build_argparser().parse_args([
+        str(tmp_path / "p_epoch3.ckpt"), str(drop), "--model", "unet",
+        "--result_dir", str(out), "--batch_size", "2", "--watch",
+        "--poll_interval", "0.05", "--watch_rounds", "3",
+    ])
+    # drop a second file after the first scan via the sleep hook
+    import time as time_mod
+
+    real_sleep = time_mod.sleep
+    dropped = []
+
+    def sleep_and_drop(s):
+        if not dropped:
+            cv2.imwrite(str(drop / "b.jpg"), img)
+            dropped.append(True)
+        real_sleep(min(s, 0.05))
+
+    monkeypatch.setattr(time_mod, "sleep", sleep_and_drop)
+    predict_cli.main(args)
+
+    assert (out / "a_whole_body.png").exists()
+    assert (out / "b_whole_body.png").exists()
+    # each file scored exactly once: mask mtimes stable across later scans
+    assert os.path.getmtime(out / "a_whole_body.png") < \
+        os.path.getmtime(out / "b_whole_body.png")
+
+
 def test_resize_pil_fallback_matches_cv2(monkeypatch, rng):
     """Serving must work without OpenCV: the PIL resize fallback is
     numerically identical to cv2.resize (same half-pixel convention)."""
