@@ -195,11 +195,21 @@ def png_available() -> bool:
     return lib is not None and getattr(lib, "_has_png", False)
 
 
+_ring_exts: tuple[str, ...] | None = None
+
+
 def ring_extensions() -> tuple[str, ...]:
-    """File extensions the native decode path (and DecodeRing) handles."""
-    if not jpeg_available():
-        return ()
-    return (".jpg", ".jpeg") + ((".png",) if png_available() else ())
+    """File extensions the native decode path (and DecodeRing) handles.
+    Cached — hot loader paths call this per image, and the lib's
+    capabilities are fixed after the one-shot ``_load``."""
+    global _ring_exts
+    if _ring_exts is None:
+        if not jpeg_available():
+            _ring_exts = ()
+        else:
+            _ring_exts = (".jpg", ".jpeg") + (
+                (".png",) if png_available() else ())
+    return _ring_exts
 
 
 def image_read_resize(path: str, out_hw: tuple[int, int],
@@ -209,8 +219,13 @@ def image_read_resize(path: str, out_hw: tuple[int, int],
     BGR u8.  Returns None when unavailable or decode fails (callers fall
     back to imops).  ``fast_scale_to`` applies to JPEGs only."""
     lib = _load()
-    if lib is None or not lib._has_jpeg or not hasattr(lib, "image_read_resize_bgr"):
+    if lib is None or not lib._has_jpeg:
         return None
+    if not hasattr(lib, "image_read_resize_bgr"):
+        # Older prebuilt .so without the generic entry (no toolchain to
+        # rebuild): keep the JPEG fast path alive instead of degrading
+        # every read to the slow generic decoder.
+        return jpeg_read_resize(path, out_hw, fast_scale_to)
     out = np.empty((out_hw[0], out_hw[1], 3), np.uint8)
     rc = lib.image_read_resize_bgr(path.encode(), out.ctypes.data,
                                    out_hw[0], out_hw[1], fast_scale_to)

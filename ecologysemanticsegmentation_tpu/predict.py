@@ -446,7 +446,10 @@ def _score_files(predictor, files, args, organs):
         n_ok += 1
         mask8 = np.clip(probs * 255.0, 0, 255).astype(np.uint8)
         for c in range(probs.shape[-1]):
-            name = organs[c] if c < len(organs) else f"class{c}"
+            # empty placeholder organ names (ORGANS=whole_body,,) would
+            # collide on "{stem}_.png" — fall through to class<N>
+            name = (organs[c] if c < len(organs) and organs[c]
+                    else f"class{c}")
             imops.imwrite_bgr(
                 os.path.join(args.result_dir, f"{stem}_{name}.png"),
                 mask8[..., c])
@@ -466,7 +469,8 @@ def _score_files(predictor, files, args, organs):
                 os.path.join(args.result_dir, f"{stem}_overlay.png"),
                 over[..., ::-1])
         cover = " ".join(
-            f"{organs[c] if c < len(organs) else c}={probs[..., c].mean():.3f}"
+            f"{organs[c] if c < len(organs) and organs[c] else f'class{c}'}"
+            f"={probs[..., c].mean():.3f}"
             for c in range(probs.shape[-1]))
         print(f"{path}: {cover}")
     return n_ok
@@ -494,7 +498,7 @@ def _watch_loop(predictor, roots, args, organs):
                         candidates.append(os.path.join(root, name))
             elif os.path.exists(root):
                 candidates.append(root)
-        ready = []
+        ready = []  # (path, mtime-that-passed-the-stability-check)
         for p in candidates:
             try:
                 mtime = os.path.getmtime(p)
@@ -503,17 +507,18 @@ def _watch_loop(predictor, roots, args, organs):
             if seen.get(p) == mtime:
                 continue  # already scored this version
             if pending.get(p) == mtime:
-                ready.append(p)  # stable across one poll
+                ready.append((p, mtime))  # stable across one poll
                 del pending[p]
             else:
                 pending[p] = mtime  # new or still being written
         if ready:
-            n = _score_files(predictor, ready, args, organs)
-            for p in ready:
-                try:
-                    seen[p] = os.path.getmtime(p)
-                except OSError:
-                    pass
+            # One streaming pass per scan (a fresh decode ring per round —
+            # 3 thread spawns, negligible next to the per-batch compute).
+            n = _score_files(predictor, [p for p, _ in ready], args, organs)
+            # Record the mtime whose CONTENT was scored: a file replaced
+            # mid-scan keeps its new mtime unseen and is rescored next
+            # round instead of being silently skipped.
+            seen.update(ready)
             print(f"scan: scored {n}/{len(ready)} new files "
                   f"-> {args.result_dir}")
         rounds += 1
@@ -529,6 +534,13 @@ def main(args=None):
     import os
 
     args = args if args is not None else build_argparser().parse_args()
+    # Validate BEFORE the (minutes-long on remote TPU) model load/compile:
+    # with no inputs, only an export-only invocation makes sense.
+    if not args.files and not (args.export_compiled and not args.watch):
+        raise SystemExit(
+            "predict: no input files given — pass image paths (or drop "
+            "directories with --watch), or --export_compiled alone to "
+            "only export")
     if args.platform:
         import jax
 
@@ -560,11 +572,18 @@ def main(args=None):
             img_size=cfg.img_size, batch_size=args.batch_size,
             threshold=args.threshold, int8=args.int8,
             union_reverse=args.union_reverse, mesh=mesh)
-    if args.export_compiled:
+    def _export():
         predictor.export_compiled(args.export_compiled)
         print(f"exported compiled serving artifact -> {args.export_compiled}")
-        if not args.files:
-            return
+
+    if not args.files:
+        _export()  # export-only invocation (validated above)
+        return
+    # For --int8 the quantized program only exists after a served batch
+    # (lazy calibration), so when there are files to score, export AFTER
+    # scoring; --watch never returns, so export (non-int8) up front there.
+    if args.export_compiled and (args.watch or not args.int8):
+        _export()
     os.makedirs(args.result_dir, exist_ok=True)
 
     if args.watch:
@@ -572,6 +591,8 @@ def main(args=None):
         return
     n_ok = _score_files(predictor, args.files, args, organs)
     print(f"scored {n_ok}/{len(args.files)} files -> {args.result_dir}")
+    if args.export_compiled and args.int8:
+        _export()
 
 
 if __name__ == "__main__":

@@ -364,6 +364,97 @@ def test_predict_cli_watch_scores_new_files(tmp_path, rng, monkeypatch):
         os.path.getmtime(out / "b_whole_body.png")
 
 
+def test_predict_cli_review_fixes(tmp_path, monkeypatch):
+    """Review regressions: (a) no-files invocations error out BEFORE the
+    model load unless export-only; (b) --int8 --export_compiled with files
+    exports AFTER scoring (lazy calibration needs a served batch);
+    (c) empty placeholder organ names get class<N> filenames."""
+    import pytest
+
+    from ecologysemanticsegmentation_tpu import predict as predict_cli
+
+    loaded = []
+    calls = []
+
+    class Stub:
+        num_classes = 3
+
+        def iter_files(self, files, fast_scale=False, with_images=False):
+            calls.append("score")
+            probs = np.full((8, 8, 3), 0.75, np.float32)
+            for p in files:
+                yield (p, probs, np.zeros((8, 8, 3), np.uint8)) \
+                    if with_images else (p, probs)
+
+        def export_compiled(self, path):
+            calls.append("export")
+            with open(path, "wb") as f:
+                f.write(b"x")
+
+    monkeypatch.setattr(
+        predict_cli.Predictor, "from_checkpoint",
+        classmethod(lambda cls, *a, **k: (loaded.append(1), Stub())[1]))
+
+    with pytest.raises(SystemExit, match="no input files"):
+        predict_cli.main(predict_cli.build_argparser().parse_args(["ckpt"]))
+    with pytest.raises(SystemExit, match="no input files"):
+        predict_cli.main(predict_cli.build_argparser().parse_args(
+            ["ckpt", "--watch", "--export_compiled", "a"]))
+    assert not loaded  # errored before any model load
+
+    monkeypatch.setenv("ORGANS", "whole_body,,")
+    monkeypatch.setenv("IMGSIZE", "8")
+    out = tmp_path / "preds"
+    art = tmp_path / "a.stablehlo"
+    (tmp_path / "img.png").write_bytes(b"ignored-by-stub")
+    predict_cli.main(predict_cli.build_argparser().parse_args([
+        "ckpt", str(tmp_path / "img.png"), "--int8",
+        "--export_compiled", str(art), "--result_dir", str(out)]))
+    assert calls == ["score", "export"] and art.exists()
+    assert (out / "img_whole_body.png").exists()
+    assert (out / "img_class1.png").exists()  # empty names don't collide
+    assert (out / "img_class2.png").exists()
+
+
+def test_watch_rescors_file_replaced_mid_scan(tmp_path, monkeypatch):
+    """A file replaced while its batch is being scored must be rescored on
+    a later scan (seen records the mtime whose content was read)."""
+    import os
+
+    from ecologysemanticsegmentation_tpu import predict as predict_cli
+
+    scored = []
+
+    class Stub:
+        num_classes = 1
+
+        def iter_files(self, files, fast_scale=False, with_images=False):
+            for p in files:
+                scored.append(os.path.getmtime(p))
+                # writer replaces the file DURING scoring
+                if len(scored) == 1:
+                    with open(p, "wb") as f:
+                        f.write(b"v2")
+                    os.utime(p, (1e9, 1e9))
+                probs = np.zeros((4, 4, 1), np.float32)
+                yield (p, probs, None) if with_images else (p, probs)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    target = drop / "f.png"
+    target.write_bytes(b"v1")
+
+    args = predict_cli.build_argparser().parse_args([
+        "ckpt", str(drop), "--watch", "--poll_interval", "0.01",
+        "--watch_rounds", "6", "--result_dir", str(tmp_path / "p")])
+    monkeypatch.setenv("ORGANS", "whole_body")
+    import ecologysemanticsegmentation_tpu.predict as pmod
+
+    (tmp_path / "p").mkdir()
+    pmod._watch_loop(Stub(), args.files, args, ["whole_body"])
+    assert len(scored) == 2  # v1 scored, then the v2 replacement rescored
+
+
 def test_resize_pil_fallback_matches_cv2(monkeypatch, rng):
     """Serving must work without OpenCV: the PIL resize fallback is
     numerically identical to cv2.resize (same half-pixel convention)."""
