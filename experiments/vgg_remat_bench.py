@@ -25,7 +25,8 @@ import time
 
 IMG = 256
 ORGANS = 3
-BATCH = 128
+BATCH = int(_os.environ.get("VGG_REMAT_BATCH", "128"))
+ONLY = _os.environ.get("VGG_REMAT_ONLY")  # "0"/"1" to run a single leg
 
 
 def main(steps=15, warmup=3):
@@ -49,7 +50,8 @@ def main(steps=15, warmup=3):
     gates3 = jnp.ones((3,), jnp.float32)
     jitters = jnp.ones((2,), jnp.float32)
 
-    for remat in (False, True):
+    legs = (False, True) if ONLY is None else (bool(int(ONLY)),)
+    for remat in legs:
         model = build_model("vgg_unet", num_classes=ORGANS, remat=remat)
         tx = make_optimizer(3e-4)
         state = create_train_state(model, jax.random.PRNGKey(0),
