@@ -6,10 +6,12 @@ and each decoder block is its own remat region saving only tagged conv
 outputs + dropout masks, so BN/activation intermediates drop out of the
 residual set while the replay working set stays bounded.
 
-Same methodology as experiments/zoo_bench.py (full jitted step, batch 128 @
-256px, device->host scalar fetch for timing).
+Same methodology as experiments/zoo_bench.py (full jitted step,
+device->host scalar fetch for timing).  Batch defaults to 128 @ 256px.
 
 Run: python experiments/vgg_remat_bench.py [steps]
+Env: VGG_REMAT_BATCH=N  override the batch size (default 128)
+     VGG_REMAT_ONLY=0|1 run a single leg (0 = plain, 1 = remat)
 """
 
 from __future__ import annotations
@@ -50,7 +52,12 @@ def main(steps=15, warmup=3):
     gates3 = jnp.ones((3,), jnp.float32)
     jitters = jnp.ones((2,), jnp.float32)
 
-    legs = (False, True) if ONLY is None else (bool(int(ONLY)),)
+    if ONLY is None:
+        legs = (False, True)
+    elif ONLY in ("0", "1"):
+        legs = (ONLY == "1",)
+    else:
+        raise SystemExit(f"VGG_REMAT_ONLY must be '0' or '1', got {ONLY!r}")
     for remat in legs:
         model = build_model("vgg_unet", num_classes=ORGANS, remat=remat)
         tx = make_optimizer(3e-4)
