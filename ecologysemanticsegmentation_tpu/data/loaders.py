@@ -452,27 +452,40 @@ def get_deepfish_segclsloc_data(
             "json",
             os.path.basename(img_path).replace(".jpg", "__labels.json"),
         )
-        if os.path.exists(ann):
-            items.append((img_path, ann))
+        if not os.path.exists(ann):
+            continue
+        # Dirtiness contract (module docstring): EVERYTHING that can fail is
+        # checked at index-build time — a corrupt/unparseable labels json,
+        # malformed region structure, or an unreadable image must be skipped
+        # here, never crash __getitem__ mid-epoch.  Polygons are parsed to
+        # arrays now so decode re-reads nothing.
+        try:
+            with open(ann) as f:
+                data = json.load(f)
+            label_polys = []
+            for label in data.get("labels", []):
+                pts = [
+                    np.array([(p["x"], p["y"]) for p in region], np.int32)
+                    for region in label.get("regions", [])
+                ]
+                label_polys.append([p for p in pts if len(p) > 5])
+        except (OSError, ValueError, TypeError, KeyError):
+            continue
+        if imops.imread_bgr(img_path) is None:
+            continue
+        items.append((img_path, label_polys))
 
     def decode(i: int):
-        img_path, ann_path = items[i]
+        img_path, label_polys = items[i]
         raw = imops.imread_bgr(img_path)
         image = _resize(raw, img_shape)
         seg = np.zeros(raw.shape[:2], np.uint8)
-        with open(ann_path) as f:
-            data = json.load(f)
-        for label in data.get("labels", []):
-            pts = [
-                np.array([(p["x"], p["y"]) for p in region], np.int32).reshape(-1, 1, 2)
-                for region in label.get("regions", [])
-            ]
-            pts = [p for p in pts if len(p) > 5]
+        for pts in label_polys:
             if pts:
-                # ONE multi-polygon call: cv2's even-odd rule applies across
-                # regions (holes/overlaps cancel), matching the reference's
-                # cv2.fillPoly(seg, pts=pts) exactly
-                imops.fill_poly(seg, [p.reshape(-1, 2) for p in pts], 255)
+                # ONE multi-polygon call per label: cv2's even-odd rule
+                # applies across that label's regions (holes/overlaps
+                # cancel), matching the reference's cv2.fillPoly(seg, pts=pts)
+                imops.fill_poly(seg, pts, 255)
         seg = _resize(seg, img_shape)
         mask = (seg[..., None] / 255.0).astype(np.float32)
         return image.astype(np.float32) / 255.0, mask, img_path

@@ -217,6 +217,31 @@ def test_deepfish_loader_roundtrip(fixture_root):
     assert mask.sum() > 100
 
 
+def test_deepfish_dirty_files_skipped_at_index_time(tmp_path):
+    """The loaders' dirtiness contract: corrupt annotation JSON, malformed
+    region structure, or an unreadable image are dropped when the index is
+    built, never crash decode mid-epoch (reference deepfish loading parses
+    json inside __getitem__ and would raise there)."""
+    root = str(tmp_path)
+    data.materialize_to_disk(root, num_samples=4, size=64)
+    df = os.path.join(root, "deepfish")
+
+    # corrupt json
+    with open(os.path.join(df, "json", "s0__labels.json"), "w") as f:
+        f.write("{not json")
+    # structurally-malformed regions (points are not {x,y} dicts)
+    with open(os.path.join(df, "json", "s1__labels.json"), "w") as f:
+        f.write('{"labels": [{"regions": [[1, 2, 3, 4, 5, 6, 7]]}]}')
+    # unreadable image
+    with open(os.path.join(df, "s2.jpg"), "wb") as f:
+        f.write(b"\x00" * 32)
+
+    ds = data.get_deepfish_segclsloc_data("segmentation", "deepfish", root, 64, 0.0075)
+    assert len(ds) == 1  # only s3 survives
+    img, mask, path = ds[0]
+    assert "s3" in path and mask.sum() > 0
+
+
 def test_loader_masks_agree_across_formats(fixture_root):
     """The same synthetic fish must round-trip near-identically through the
     polygon (COCO) and mask-folder (mlts) formats."""
