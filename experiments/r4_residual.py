@@ -102,10 +102,16 @@ def main():
     prepared = _trainer._prepare_labels(labels_raw)
     batch_prepared = {"image": images, "label": prepared}
 
-    run_leg("full", augment=True, identity_labels=False, batch=batch)
-    run_leg("no_augment", augment=False, identity_labels=False, batch=batch)
-    run_leg("residual", augment=False, identity_labels=True,
-            batch=batch_prepared)
+    legs = os.environ.get("R4_LEGS", "full,no_augment,residual").split(",")
+    name = os.environ.get("R4_NAME", "")  # suffix for A/B rows
+    if "full" in legs:
+        run_leg("full" + name, augment=True, identity_labels=False, batch=batch)
+    if "no_augment" in legs:
+        run_leg("no_augment" + name, augment=False, identity_labels=False,
+                batch=batch)
+    if "residual" in legs:
+        run_leg("residual" + name, augment=False, identity_labels=True,
+                batch=batch_prepared)
 
 
 if __name__ == "__main__":
