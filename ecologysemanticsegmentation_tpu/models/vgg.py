@@ -48,6 +48,13 @@ Dtype = Any
 # remat region (policy: save tagged conv outputs + dropout masks), bounding
 # the replay working set to one stage's temporaries while still dropping the
 # BN/LeakyReLU/ReLU intermediates from the residual set.
+#
+# VGG_REMAT_PREVENT_CSE=0 drops jax.checkpoint's optimization_barrier ops
+# (``prevent_cse=False``).  The barriers are what distinguishes the remat
+# program from the plain one at the XLA level, and the axon terminal's TPU
+# compile helper 500s on the barrier form (ROADMAP round 3); without them
+# XLA *may* CSE some recomputation back, but the program becomes
+# backend-compatible if the barrier is the trigger.  Read at trace time.
 
 # vgg19_bn configuration "E": conv widths with 'M' max-pools.
 VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
@@ -63,6 +70,17 @@ def _remat_policy():
     that must not be recomputed) and dropout masks (RNG regenerate measured
     8.7 ms per full-res mask); BN/activation intermediates are replayed."""
     return jax.checkpoint_policies.save_only_these_names("vgg_conv", "sd_mask")
+
+
+def _remat_kwargs() -> dict:
+    """Shared nn.remat options; VGG_REMAT_PREVENT_CSE=0 selects the
+    barrier-free form (module note above)."""
+    import os
+
+    kw = {"policy": _remat_policy()}
+    if os.environ.get("VGG_REMAT_PREVENT_CSE", "1") == "0":
+        kw["prevent_cse"] = False
+    return kw
 
 
 def _encoder_stages() -> list[list[int]]:
@@ -176,7 +194,7 @@ class VGGUNetEncoder(nn.Module):
             # Per-stage remat (see module note): parameter paths are
             # unchanged — the lifted function transform runs in this
             # module's own scope.
-            run = nn.remat(stage, policy=_remat_policy()) if self.remat else stage
+            run = nn.remat(stage, **_remat_kwargs()) if self.remat else stage
             x = run(self, x)
             conv_idx += len(stage_widths)
             if any(w >= self.dropout_min_channels for w in stage_widths):
@@ -212,8 +230,8 @@ class VGGUNetDecoder(nn.Module):
         if self.remat:
             # Per-block remat regions (see module note); out_ch/kernel/nb/
             # dp/use_bias/name are Python-static block parameters.
-            block = nn.remat(block, policy=_remat_policy(),
-                             static_argnums=(2, 3, 4, 5, 6, 7))
+            block = nn.remat(block, static_argnums=(2, 3, 4, 5, 6, 7),
+                             **_remat_kwargs())
 
         for idx in range(len(channels) - 1):
             out_ch = channels[idx + 1]

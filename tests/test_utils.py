@@ -255,3 +255,22 @@ def test_default_palette_png_exists():
     assert os.path.exists(DEFAULT_PALETTE_PNG)
     img = cv2.imread(DEFAULT_PALETTE_PNG)
     assert img is not None and img.shape[2] == 3
+
+
+def test_overlay_colors_come_from_reference_table(monkeypatch):
+    """The 551-entry reference color table (dataset/resources/
+    color_constants.py, executed and dumped as data) supplies COLORS; the
+    shuffle is seeded for reproducibility (COLOR_SHUFFLE_SEED)."""
+    from ecologysemanticsegmentation_tpu.utils import colors as c
+
+    assert len(c.COLOR_NAMES) == 551
+    assert c.COLOR_NAMES["aliceblue"] == (240, 248, 255)
+    assert c.COLOR_NAMES["yellow1"] == (255, 255, 0)
+    # COLORS is a seeded shuffle of the table's values
+    assert sorted(c.COLORS) == sorted(c.COLOR_NAMES.values())
+    assert len(c.COLORS) == 551
+    # deterministic under the default seed
+    import importlib
+    before = list(c.COLORS)
+    importlib.reload(c)
+    assert list(c.COLORS) == before
