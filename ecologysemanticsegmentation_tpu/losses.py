@@ -52,9 +52,14 @@ def binary_cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
     Equivalent of the reference's module-level ``torch.nn.BCEWithLogitsLoss``
     (``ecology_semantic_segmentation/__init__.py:24``):
     ``mean(max(x, 0) - x*y + log(1 + exp(-|x|)))``.
+
+    ``-1`` ignore-sentinel targets are masked out of the mean (see
+    ops/pallas/loss_sums.py); identical on clean ``{0,1}`` targets.
     """
     x, y = logits, targets
-    return jnp.mean(jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x))))
+    w = (y >= 0).astype(jnp.float32)
+    per = jnp.maximum(x, 0.0) - x * (y * w) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    return jnp.sum(w * per) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def prob_cross_entropy(pred: jax.Array, target_probs: jax.Array, axis: int = -1) -> jax.Array:
@@ -84,6 +89,13 @@ def seven_from_sums(
     bg = background_weight
     s_g, s_p, s_pp, s_gp, s_flfg, s_flbg, s_bce, n = (sums[i] for i in range(8))
 
+    # n is the per-channel count of NON-ignored pixels (the sums exclude the
+    # -1 sentinel; see ops/pallas/loss_sums.py).  A channel ignored across
+    # the whole batch has n == 0 and all-zero sums — the max(n, 1) guard
+    # makes its mean terms 0 instead of 0/0, so such a channel contributes
+    # constants (zero gradient) rather than NaNs.  On clean labels n is the
+    # full element count and nothing changes.
+    n = jnp.maximum(n, 1.0)
     ce = jnp.zeros_like(s_g)
     bce = (s_bce - s_gp) / n
     focal = (-s_flfg - bg * s_flbg) / n
@@ -399,9 +411,14 @@ def dice_score(pred: jax.Array, gt: jax.Array) -> jax.Array:
     Inputs NHWC; returns shape ``(C,)`` per-organ scores in [0, 1]-ish.
     """
     g, p = pred.astype(jnp.float32), gt.astype(jnp.float32)  # call-site swap
+    # Ignore-mask the LABEL side (post-swap that is ``p``): -1 sentinel
+    # pixels drop out of both sums, as in ops/pallas/loss_sums.py.  On clean
+    # labels w == 1 and the score is unchanged.
+    w = (p >= 0).astype(jnp.float32)
+    p = p * w
     red = (0, 1, 2)
     num = 2.0 * jnp.sum(g * p, axis=red) + EPS
-    den = jnp.sum(g + p * p, axis=red) + EPS
+    den = jnp.sum(w * (g + p * p), axis=red) + EPS
     return num / den
 
 
@@ -419,16 +436,27 @@ def return_union_sets_descending_order(
     unions at test time (``utils/subsets_union.py:23-28``), iterating from the
     second-to-last channel down so each step sees the *already updated* next
     channel.
+
+    Ignore-awareness (deviation, documented in PARITY.md): ``-1`` ignore
+    channels must not leak into the union — the reference sums them raw, so
+    e.g. ``(1, -1, 0)`` unions to ``0``, silently flipping an annotated
+    superset pixel to background (and ``(-1, -1)`` to ``-2``).  Here ignored
+    channels are excluded from the sum and a channel whose OWN label is
+    ignored stays ignored (its union is unknowable — the nested-organ union
+    ``k..C-1`` equals organ ``k`` itself).  Identical to the reference on
+    clean ``{0,1}`` labels.
     """
     C = ann.shape[-1]
     excl = set(int(i) for i in exclude_indices)
     if not reverse:
+        pos = jnp.maximum(ann, 0)
         out = ann
         for idx in range(C - 1):
             if idx in excl:
                 continue
-            union = jnp.sum(ann[..., idx:], axis=-1)
-            out = out.at[..., idx].set(union)
+            union = jnp.sum(pos[..., idx:], axis=-1)
+            out = out.at[..., idx].set(
+                jnp.where(ann[..., idx] < 0, ann[..., idx], union))
         return jnp.clip(out, max=1)
     out = ann
     for idx in range(C - 2, -1, -1):

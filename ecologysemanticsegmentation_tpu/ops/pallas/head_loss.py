@@ -97,19 +97,24 @@ def _transposed(m):
 
 def _elementwise_sums(p: jax.Array, g: jax.Array) -> jax.Array:
     """The seven reduction integrands over one (H, W*C) tile; returns
-    (8, W*C) with row 7 zero (the count is analytic, added by the caller)."""
+    (8, W*C) with row 7 the count of non-ignored pixels.  Pixels with
+    ``g < 0`` (the ``-1`` ignore sentinel) drop out of every row — the same
+    masking as ``loss_sums._sums_reference``; on clean ``{0,1}`` labels
+    ``w == 1`` and the sums (incl. the count) are unchanged."""
+    w = (g >= 0).astype(jnp.float32)
+    g = g * w
     one_m_p = 1.0 - p
     pow_1mp = one_m_p * jnp.sqrt(one_m_p)
     pow_p = p * jnp.sqrt(p)
     rows = [
         jnp.sum(g, axis=0),
-        jnp.sum(p, axis=0),
-        jnp.sum(p * p, axis=0),
+        jnp.sum(w * p, axis=0),
+        jnp.sum(w * p * p, axis=0),
         jnp.sum(g * p, axis=0),
-        jnp.sum(pow_1mp * jnp.log(p + EPS), axis=0),
-        jnp.sum(pow_p * jnp.log(one_m_p + EPS), axis=0),
-        jnp.sum(jnp.maximum(p, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(p))), axis=0),
-        jnp.zeros((p.shape[1],), jnp.float32),
+        jnp.sum(w * pow_1mp * jnp.log(p + EPS), axis=0),
+        jnp.sum(w * pow_p * jnp.log(one_m_p + EPS), axis=0),
+        jnp.sum(w * (jnp.maximum(p, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(p)))), axis=0),
+        jnp.sum(w, axis=0),
     ]
     return jnp.stack(rows)
 
@@ -149,6 +154,9 @@ def _bwd_kernel(x_ref, g_ref, w_ref, mh_ref, mwc_ref, mhT_ref, mwcT_ref, dx_ref)
         u = jnp.dot(u, mwc, preferred_element_type=jnp.float32)
         p = jax.nn.sigmoid(u)
         g = g_ref[b].astype(jnp.float32)
+        # ignore mask, as in _elementwise_sums: masked pixels contribute no dp
+        msk = (g >= 0).astype(jnp.float32)
+        g = g * msk
         one_m_p = 1.0 - p
         # d(sums)/dp with the (8, C) cotangent applied (cf. loss_sums._bwd_kernel)
         dp = (
@@ -162,7 +170,7 @@ def _bwd_kernel(x_ref, g_ref, w_ref, mh_ref, mwc_ref, mhT_ref, mwcT_ref, dx_ref)
             + w[6] * ((p > 0).astype(jnp.float32)
                       - jnp.sign(p) / (1.0 + jnp.exp(jnp.abs(p))))
         )
-        du = dp * p * one_m_p  # sigmoid'
+        du = msk * dp * p * one_m_p  # sigmoid'
         dx = jnp.dot(mhT, du, preferred_element_type=jnp.float32)   # (h, W*C)
         dx = jnp.dot(dx, mwcT, preferred_element_type=jnp.float32)  # (h, w*C)
         dx_ref[b] = dx.astype(dx_ref.dtype)
@@ -204,6 +212,8 @@ def _bwd_kernel_rows(x_ref, g_ref, w_ref, mh_ref, mwc_ref, dx_ref):
     u = jnp.dot(u, mwc, preferred_element_type=jnp.float32)
     p = jax.nn.sigmoid(u)
     g = g_ref[0].astype(jnp.float32)
+    msk = (g >= 0).astype(jnp.float32)  # ignore mask (cf. _elementwise_sums)
+    g = g * msk
     one_m_p = 1.0 - p
     dp = (
         w[1]
@@ -216,7 +226,7 @@ def _bwd_kernel_rows(x_ref, g_ref, w_ref, mh_ref, mwc_ref, dx_ref):
         + w[6] * ((p > 0).astype(jnp.float32)
                   - jnp.sign(p) / (1.0 + jnp.exp(jnp.abs(p))))
     )
-    du = dp * p * one_m_p                                         # (Hb, W*C)
+    du = msk * dp * p * one_m_p                                   # (Hb, W*C)
     dz = jax.lax.dot_general(                                     # du @ mwc^T
         du, mwc, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                       # (Hb, w*C)
@@ -276,8 +286,9 @@ def _make_fused_rows(shape_lr, shape_hr, align_corners: bool, interpret: bool,
             out_shape=jax.ShapeDtypeStruct((NUM_SUMS, W * C), jnp.float32),
             interpret=interpret,
         )(x, g, jnp.asarray(mh), jnp.asarray(mwc))
+        # row 7 already holds the in-kernel non-ignored count
         sums = out.reshape(NUM_SUMS, W, C).sum(axis=1)
-        return sums.at[7].set(float(B * H * W))
+        return sums
 
     def _bwd(logits, labels, cot):
         mh, mwc = _upsample_mats(h, w, H, W, C, align_corners)
@@ -360,8 +371,9 @@ def _make_fused_spatial(shape_lr, shape_hr_local, interpret: bool):
             out_shape=jax.ShapeDtypeStruct((NUM_SUMS, W * C), jnp.float32),
             interpret=interpret,
         )(x, g, mh, mwc)
+        # row 7 holds the in-kernel LOCAL non-ignored count; psum -> global
         sums = out.reshape(NUM_SUMS, W, C).sum(axis=1)
-        return sums.at[7].set(float(B * Hl * W))  # local count; psum -> global
+        return sums
 
     def _bwd(logits, labels, mh, mwc, cot):
         x = logits.reshape(B, h, w * C)
@@ -527,9 +539,9 @@ def _make_fused(shape_lr, shape_hr, align_corners: bool, interpret: bool):
             out_shape=jax.ShapeDtypeStruct((NUM_SUMS, W * C), jnp.float32),
             interpret=interpret,
         )(x, g, jnp.asarray(mh), jnp.asarray(mwc))
-        # (8, W*C) -> per-channel (8, C); the count row is analytic.
+        # (8, W*C) -> per-channel (8, C); row 7 is the in-kernel count.
         sums = out.reshape(NUM_SUMS, W, C).sum(axis=1)
-        return sums.at[7].set(float(B * H * W))
+        return sums
 
     def _bwd(logits, labels, cot):
         mh, mwc = _upsample_mats(h, w, H, W, C, align_corners)

@@ -44,19 +44,29 @@ LANE_TILE = 2048
 
 
 def _sums_reference(p: jax.Array, g: jax.Array) -> jax.Array:
-    """Pure-jnp reference: p, g are (C, N); returns (8, C) f32."""
+    """Pure-jnp reference: p, g are (C, N); returns (8, C) f32.
+
+    Pixels with ``g < 0`` (the ``-1`` ignore sentinel) are excluded from
+    every reduction INCLUDING the count row — the reference's stated-but-
+    unimplemented "-1 will not be learnt" semantics
+    (``visualize_composite_labels.py:44``; its loss code sums the raw -1s
+    and NaNs once the negative mass dominates a dice numerator).  On clean
+    ``{0,1}`` labels ``w == 1`` everywhere and the sums are bit-identical
+    to the unmasked form."""
     p = p.astype(jnp.float32)
     g = g.astype(jnp.float32)
-    n = jnp.full((p.shape[0],), p.shape[1], jnp.float32)
+    w = (g >= 0).astype(jnp.float32)
+    gw = g * w
+    pw = p * w
     return jnp.stack([
-        jnp.sum(g, axis=1),
-        jnp.sum(p, axis=1),
-        jnp.sum(p * p, axis=1),
-        jnp.sum(g * p, axis=1),
-        jnp.sum(jnp.power(1.0 - p, GAMMA) * jnp.log(p + EPS), axis=1),
-        jnp.sum(jnp.power(p, GAMMA) * jnp.log(1.0 - p + EPS), axis=1),
-        jnp.sum(jnp.maximum(p, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(p))), axis=1),
-        n,
+        jnp.sum(gw, axis=1),
+        jnp.sum(pw, axis=1),
+        jnp.sum(pw * p, axis=1),
+        jnp.sum(gw * p, axis=1),
+        jnp.sum(w * jnp.power(1.0 - p, GAMMA) * jnp.log(p + EPS), axis=1),
+        jnp.sum(w * jnp.power(p, GAMMA) * jnp.log(1.0 - p + EPS), axis=1),
+        jnp.sum(w * (jnp.maximum(p, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(p)))), axis=1),
+        jnp.sum(w, axis=1),
     ])
 
 
@@ -69,19 +79,23 @@ def _fwd_kernel(p_ref, g_ref, out_ref):
 
     p = p_ref[:, :].astype(jnp.float32)
     g = g_ref[:, :].astype(jnp.float32)
+    # Ignore mask: g < 0 pixels drop out of every sum incl. the count row
+    # (see _sums_reference).  w == 1 everywhere on clean labels.
+    w = (g >= 0).astype(jnp.float32)
+    g = g * w
     one_m_p = 1.0 - p
     s0 = jnp.sum(g, axis=1)
-    s1 = jnp.sum(p, axis=1)
-    s2 = jnp.sum(p * p, axis=1)
+    s1 = jnp.sum(w * p, axis=1)
+    s2 = jnp.sum(w * p * p, axis=1)
     s3 = jnp.sum(g * p, axis=1)
     # x^1.5 as x*sqrt(x): one sqrt instead of exp(1.5*log(x)); sqrt of a
     # negative is NaN, matching jnp.power's NaN-for-negative-base semantics
     pow_1mp = one_m_p * jnp.sqrt(one_m_p)
     pow_p = p * jnp.sqrt(p)
-    s4 = jnp.sum(pow_1mp * jnp.log(p + EPS), axis=1)
-    s5 = jnp.sum(pow_p * jnp.log(one_m_p + EPS), axis=1)
-    s6 = jnp.sum(jnp.maximum(p, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(p))), axis=1)
-    n = jnp.full_like(s0, p.shape[1])
+    s4 = jnp.sum(w * pow_1mp * jnp.log(p + EPS), axis=1)
+    s5 = jnp.sum(w * pow_p * jnp.log(one_m_p + EPS), axis=1)
+    s6 = jnp.sum(w * (jnp.maximum(p, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(p)))), axis=1)
+    n = jnp.sum(w, axis=1)
     out_ref[:, :] += jnp.stack([s0, s1, s2, s3, s4, s5, s6, n])
 
 
@@ -89,12 +103,17 @@ def _bwd_kernel(p_ref, g_ref, w_ref, dp_ref, dg_ref):
     p = p_ref[:, :].astype(jnp.float32)
     g = g_ref[:, :].astype(jnp.float32)
     w = w_ref[:, :]  # (8, C)
+    # Ignore mask (matches _fwd_kernel): every sum carries a w factor, so
+    # every gradient does too; the mask itself is piecewise-constant in g
+    # (zero subgradient), so dg needs no extra term.
+    msk = (g >= 0).astype(jnp.float32)
+    g = g * msk
 
     def wc(k):  # cotangent weight for sum k, shaped (C, 1) for broadcast
         return w[k][:, None]
 
     one_m_p = 1.0 - p
-    dp = (
+    dp = msk * (
         wc(1)
         + wc(2) * 2.0 * p
         + wc(3) * g
@@ -106,7 +125,7 @@ def _bwd_kernel(p_ref, g_ref, w_ref, dp_ref, dg_ref):
         + wc(6) * ((p > 0).astype(jnp.float32)
                    - jnp.sign(p) / (1.0 + jnp.exp(jnp.abs(p))))
     )
-    dg = wc(0) + wc(3) * p
+    dg = (wc(0) + wc(3) * p) * msk
     dp_ref[:, :] = dp
     dg_ref[:, :] = dg * jnp.ones_like(p)
 

@@ -56,11 +56,16 @@ def evaluate_checkpoint(
     os.makedirs(dir_name, exist_ok=True)
 
     total = np.zeros(len(organs))
-    batches = 0
+    counts = np.zeros(len(organs))
     for j, batch in enumerate(loader):
         out = eval_step(state, {"image": batch["image"], "label": batch["label"]})
-        total += np.asarray(out["dice"])
-        batches += 1
+        # Weight each batch by per-organ validity: an organ that is entirely
+        # -1 (ignore) in a batch contributes nothing instead of a degenerate
+        # eps/eps score of 1.0.  Clean data: valid == 1 for every batch, so
+        # this is the reference's plain mean-over-batches.
+        valid = np.asarray(out["valid"])
+        total += np.asarray(out["dice"]) * valid
+        counts += valid
         if single_model:
             img8 = (batch["image"][0] * 255).astype(np.uint8)
             gt8 = (np.clip(batch["label"][0], 0, 1) * 255).astype(np.uint8)
@@ -73,9 +78,11 @@ def evaluate_checkpoint(
                                   entry_g[key][..., ::-1])
                 imops.imwrite_bgr(os.path.join(dir_name, f"{key}_{j}_pred.png"),
                                   entry_p[key][..., ::-1])
-    if batches == 0:
+    if counts.max() == 0:
         return None
-    dice = total / batches
+    # An organ with no valid batch at all reports nan (no data), not a score.
+    dice = total / np.maximum(counts, 1)
+    dice = np.where(counts > 0, dice, np.nan)
     print(f"Epoch {saved_epoch}: \n\t Test Dice Score: ", dice)
     print("Finished Testing")
     return dice

@@ -331,10 +331,15 @@ def make_eval_step(model, apply_union_reverse: bool = False) -> Callable:
         if apply_union_reverse:
             scored = return_union_sets_descending_order(probs, reverse=True)
         dice = dice_score(scored, labels)
+        # Per-organ batch validity: an organ with NO non-ignored pixel in
+        # this batch (ragged data, -1 sentinel everywhere) has a degenerate
+        # eps/eps Dice — the evaluator weights batches by this flag so
+        # absent organs don't score a fake 1.0.  Clean data: always 1.
+        valid = (jnp.sum(labels >= 0, axis=(0, 1, 2)) > 0).astype(jnp.float32)
         # Val loss = BCE(+dice) as the reference's val loop computes it
         # (train_multiclass.py:195-205 uses the bce path on sigmoided outputs).
         bce = binary_cross_entropy(probs, labels)
-        return {"probs": probs, "dice": dice, "bce": bce}
+        return {"probs": probs, "dice": dice, "bce": bce, "valid": valid}
 
     return eval_step
 

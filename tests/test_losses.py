@@ -128,10 +128,22 @@ def test_sequential_composite_deadbranch_runs(rng):
 def test_sequential_cross_organ_matches_reference(rng):
     """Golden parity for the sequential trainer's EXECUTED multi-organ loss:
     per-organ tuples + losses_fn(g1-g2, |x1-x2|) added to organ 1
-    (reference train_multiclass_sequential_densenetloss.py:279-290)."""
+    (reference train_multiclass_sequential_densenetloss.py:279-290).
+
+    Labels are union-transformed (nested) first — the call site's actual
+    input class (``..._densenetloss.py`` applies the union transform before
+    losses), under which ``g1-g2`` is in {0,1}.  On UNNESTED labels the
+    difference has -1 values: the reference sums them raw and its
+    focal_dice NaNs (log of a negative dice), while this framework treats
+    -1 as the ignore sentinel (tests/test_ignore_labels.py) — a deviation
+    that only exists where the reference produces NaN."""
     import torch
 
     pred, gt = _rand_pair(rng, c=3)
+    # nest: channel k := clipped union of channels k.. (the training
+    # transform, reference utils/subsets_union.py:18-22)
+    gt[..., 1] = np.clip(gt[..., 1] + gt[..., 2], 0, 1)
+    gt[..., 0] = np.clip(gt[..., 0] + gt[..., 1], 0, 1)
     ours = np.asarray(
         losses.sequential_cross_organ_losses(jnp.asarray(pred), jnp.asarray(gt))
     )
