@@ -49,12 +49,15 @@ Dtype = Any
 # the replay working set to one stage's temporaries while still dropping the
 # BN/LeakyReLU/ReLU intermediates from the residual set.
 #
-# VGG_REMAT_PREVENT_CSE=0 drops jax.checkpoint's optimization_barrier ops
-# (``prevent_cse=False``).  The barriers are what distinguishes the remat
+# The remat regions are BARRIER-FREE by default (``prevent_cse=False``):
+# jax.checkpoint's optimization_barrier ops are what distinguishes the remat
 # program from the plain one at the XLA level, and the axon terminal's TPU
-# compile helper 500s on the barrier form (ROADMAP round 3); without them
-# XLA *may* CSE some recomputation back, but the program becomes
-# backend-compatible if the barrier is the trigger.  Read at trace time.
+# compile helper 500s on the barrier form (ROADMAP round 3).  The barrier-free
+# form compiles and runs on the real chip — measured cost vs plain is noise
+# (b64: 245.3 vs 246.6 img/s; b128: 315.7 vs 316.4; RESULTS.md round 4) —
+# while XLA *may* CSE some recomputation back.  VGG_REMAT_PREVENT_CSE=1
+# restores the strict barriers for backends that accept them.  Read at
+# trace time.
 
 # vgg19_bn configuration "E": conv widths with 'M' max-pools.
 VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
@@ -73,12 +76,12 @@ def _remat_policy():
 
 
 def _remat_kwargs() -> dict:
-    """Shared nn.remat options; VGG_REMAT_PREVENT_CSE=0 selects the
-    barrier-free form (module note above)."""
+    """Shared nn.remat options; barrier-free by default,
+    VGG_REMAT_PREVENT_CSE=1 restores the barriers (module note above)."""
     import os
 
     kw = {"policy": _remat_policy()}
-    if os.environ.get("VGG_REMAT_PREVENT_CSE", "1") == "0":
+    if os.environ.get("VGG_REMAT_PREVENT_CSE", "0") != "1":
         kw["prevent_cse"] = False
     return kw
 
