@@ -35,9 +35,11 @@ _sel = os.environ.get("LIB_CASES")
 if _sel:
     keep = {int(x) for x in _sel.split(",") if x}
     CASES = tuple(c for c in CASES if c[0] in keep)
-# The full step WITH device augmentation at 512px hit a pathological remote
-# compile (>60 min, killed); the large-image question is the model +
-# row-blocked head-loss path, so augmentation is off here by default.
+# The 512px augment=True remote compile was pathological (>60 min) until the
+# HLO-constant fix (ops/resize.py iota-built operands); it now compiles in
+# minutes and runs at 290 img/s (large_image_bench_augment.log).  Default
+# stays augment=False so the sweep isolates the model + head-loss path;
+# LIB_AUGMENT=1 measures the full step.
 AUGMENT = bool(int(os.environ.get("LIB_AUGMENT", "0")))
 
 
