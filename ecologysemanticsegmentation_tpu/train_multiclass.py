@@ -76,6 +76,12 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="Per-stage rematerialization for vgg_unet (trades "
                          "recompute for HBM activation traffic; numerics "
                          "and checkpoints unchanged)")
+    ap.add_argument("--aot_cache", default=None, metavar="DIR",
+                    help="Cache the lowered train step as a StableHLO "
+                         "artifact in DIR: repeat runs of the same config "
+                         "skip Python trace/lowering (the dominant "
+                         "cold-start cost; see train/aot.py). Single-device "
+                         "runs only; keyed by config+jax version+platform")
     return ap
 
 
@@ -164,11 +170,47 @@ def train(args=None):
     )
     state = jax.device_put(state, replicated_sharding(mesh))
 
-    train_step = make_train_step(
-        model, tx, augment=not args.no_augment,
-        deepsupervision=args.deepsupervision, lowres_head=lowres,
-        spatial_mesh=mesh if (lowres and args.spatial_partition > 1) else None,
-    )
+    def _build_step():
+        return make_train_step(
+            model, tx, augment=not args.no_augment,
+            deepsupervision=args.deepsupervision, lowres_head=lowres,
+            spatial_mesh=mesh if (lowres and args.spatial_partition > 1) else None,
+        )
+
+    aot_dir = getattr(args, "aot_cache", None)
+    if aot_dir and (jax.device_count() > 1 or args.spatial_partition > 1):
+        print("--aot_cache is single-device only (sharded programs carry "
+              "mesh state the artifact does not); running uncached")
+        aot_dir = None
+    if aot_dir:
+        from .train.aot import cached_train_step
+
+        key_cfg = dict(
+            model=model_name, encoder=args.encoder,
+            num_classes=cfg.num_classes, max_channels=cfg.max_channels,
+            img_size=cfg.img_size, batch_size=batch_size,
+            augment=not args.no_augment, deepsupervision=args.deepsupervision,
+            lowres=lowres, remat=getattr(args, "remat", False),
+            grad_accum=getattr(args, "grad_accum", 1),
+        )
+        example = (
+            state,
+            {"image": jax.ShapeDtypeStruct(
+                 (batch_size, cfg.img_size, cfg.img_size, 3), jnp.float32),
+             "label": jax.ShapeDtypeStruct(
+                 (batch_size, cfg.img_size, cfg.img_size, cfg.num_classes),
+                 jnp.float32)},
+            jax.random.PRNGKey(0),
+            jax.ShapeDtypeStruct((), jnp.float32),       # bg_weight
+            jax.ShapeDtypeStruct((3,), jnp.float32),     # gates3
+            jax.ShapeDtypeStruct((), jnp.float32),       # lr
+            jax.ShapeDtypeStruct((2,), jnp.float32),     # jitters
+        )
+        train_step, aot_status = cached_train_step(
+            _build_step, key_cfg, aot_dir, example)
+        print(f"aot_cache: {aot_status} ({aot_dir})")
+    else:
+        train_step = _build_step()
     eval_step = make_eval_step(eval_model) if not args.deepsupervision else None
 
     lr_at = cosine_annealing_warm_restarts(args.lr, t_0=100)
