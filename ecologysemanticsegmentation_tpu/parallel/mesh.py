@@ -90,7 +90,32 @@ def local_batch_to_global(batch_size: int, mesh: Mesh) -> int:
     return int(math.ceil(batch_size / d) * d)
 
 
-def create_multislice_mesh(model_parallel: int = 1, devices=None) -> Mesh:
+class _SliceDevice:
+    """Transparent device proxy carrying an explicit ``slice_index``.
+
+    Virtual CPU devices (the only multi-device topology available in this
+    environment) expose no ``slice_index``, so the hybrid-mesh code path
+    would otherwise be untestable.  ``mesh_utils.create_hybrid_device_mesh``
+    only reads attributes off the device objects, so a proxy exercises the
+    REAL grouping/reshape logic; the resulting grid is unwrapped back to the
+    underlying devices before building the Mesh."""
+
+    __slots__ = ("_device", "slice_index")
+
+    def __init__(self, device, slice_index: int):
+        self._device = device
+        self.slice_index = slice_index
+
+    def __getattr__(self, name):
+        return getattr(self._device, name)
+
+    def __repr__(self):  # pragma: no cover - debugging aid
+        return f"_SliceDevice({self._device!r}, slice={self.slice_index})"
+
+
+def create_multislice_mesh(
+    model_parallel: int = 1, devices=None, num_slices: int | None = None
+) -> Mesh:
     """Multi-slice mesh for DCN-spanning data parallelism (SURVEY.md §2.5:
     "DCN-spanning multi-slice DP is the natural extension").
 
@@ -98,23 +123,36 @@ def create_multislice_mesh(model_parallel: int = 1, devices=None) -> Mesh:
     gradient all-reduce rides it (once per step); ``data``/``model``
     collectives stay on ICI.  Uses ``mesh_utils.create_hybrid_device_mesh``
     when multiple slices are attached; degrades to :func:`create_mesh` with a
-    singleton slice axis on one slice (the testable path here — multi-slice
-    hardware is not available in this environment).
+    singleton slice axis on one slice.
+
+    ``num_slices``: explicit slice count for devices that carry no
+    ``slice_index`` (virtual CPU meshes) — devices are assigned to slices in
+    contiguous blocks via :class:`_SliceDevice` proxies, so the hybrid
+    grouping/reshape path runs even without multi-slice hardware.  Real
+    ``slice_index`` attributes, when present, always win.
     """
     import numpy as np
     from jax.experimental import mesh_utils
 
     devices = list(devices if devices is not None else jax.devices())
-    num_slices = len({getattr(d, "slice_index", 0) for d in devices})
     n = len(devices)
-    if num_slices > 1:
-        per_slice = n // num_slices
+    have_real = hasattr(devices[0], "slice_index")
+    if not have_real and num_slices and num_slices > 1:
+        assert n % num_slices == 0, (n, num_slices)
+        per = n // num_slices
+        devices = [_SliceDevice(d, i // per) for i, d in enumerate(devices)]
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    if len(slice_ids) > 1:
+        num = len(slice_ids)
+        per_slice = n // num
+        assert per_slice % model_parallel == 0, (per_slice, model_parallel)
         grid = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(per_slice // model_parallel, model_parallel),
-            dcn_mesh_shape=(num_slices, 1),
+            dcn_mesh_shape=(num, 1),
             devices=devices,
         )
-        return Mesh(grid.reshape(num_slices, per_slice // model_parallel, model_parallel),
-                    axis_names=("slice", "data", "model"))
+        grid = grid.reshape(num, per_slice // model_parallel, model_parallel)
+        unwrap = np.frompyfunc(lambda d: getattr(d, "_device", d), 1, 1)
+        return Mesh(unwrap(grid), axis_names=("slice", "data", "model"))
     grid = np.array(devices).reshape(1, n // model_parallel, model_parallel)
     return Mesh(grid, axis_names=("slice", "data", "model"))

@@ -27,11 +27,17 @@ but pays Python dispatch every step instead):
   by default (no cross-version compatibility guarantee).  A cache — unlike a
   portability artifact — is consumed by the same jax/platform that wrote it,
   so the check is disabled and the cache key carries
-  ``jax.__version__`` + platform: any mismatch is a different file, and a
-  stale artifact that still fails to load falls back to a normal build.
+  ``jax.__version__`` + platform + backend runtime version (libtpu): any
+  mismatch is a different file.  A stale artifact that fails to LOAD falls
+  back to a normal build, and one that loads but fails at its first call
+  (backend compile rejection) does too (:func:`_with_first_call_fallback`).
 - Artifacts hold NO weights (the state is an argument), so they are small
   (hundreds of KB) and checkpoint-agnostic: one artifact serves every
   resume/restart of the same config.
+- Trust model: the artifact embeds a pickled treedef sidecar, and unpickling
+  is code execution — the cache directory must be PRIVATE and as trusted as
+  the checkpoints themselves (same threat model as torch.load on a ckpt).
+  Never point ``--aot_cache`` at a shared/world-writable path.
 """
 
 from __future__ import annotations
@@ -44,24 +50,47 @@ from typing import Any, Callable, Sequence
 
 _MAGIC = b"ESTPU-AOT-1\n"
 
+# Env knobs read at TRACE time anywhere inside the step (augmentation forms,
+# remat shape, Pallas-vs-jnp kernel selection, compiler options).  Any knob
+# that changes the traced program MUST have its prefix here, or flipping it
+# is silently ignored on a cache hit.
+_TRACE_ENV_PREFIXES = ("AUGMENT_", "VGG_REMAT", "TPU_SCOPED_VMEM", "LOSS_SUMS")
+
+
+def _compiler_options():
+    """The same TPU compiler knob passthrough make_train_step applies
+    (trainer.py): artifacts must backend-compile with identical options on
+    hit and miss, or the vmem limit silently vanishes on hit runs."""
+    import jax
+
+    vmem = os.environ.get("TPU_SCOPED_VMEM_KIB")
+    return (
+        {"xla_tpu_scoped_vmem_limit_kib": vmem}
+        if vmem and jax.devices()[0].platform == "tpu" else None
+    )
+
 
 def train_step_cache_key(config: dict) -> str:
     """Digest of everything that shapes the traced program: caller-supplied
-    config (model/shape/flag dict) + jax version + backend platform + the
-    env knobs that alter the augmentation/remat trace."""
+    config (model/shape/flag dict) + jax version + backend platform AND
+    runtime version (a libtpu update can reject a cached tpu_custom_call
+    payload under the same jax.__version__) + the env knobs that alter the
+    trace (:data:`_TRACE_ENV_PREFIXES`)."""
     import jax
 
     env = {
         k: v
         for k, v in os.environ.items()
-        if k.startswith(("AUGMENT_", "VGG_REMAT", "TPU_SCOPED_VMEM"))
+        if k.startswith(_TRACE_ENV_PREFIXES)
     }
+    dev = jax.devices()[0]
     payload = repr(
         (
             sorted(config.items()),
             sorted(env.items()),
             jax.__version__,
-            jax.devices()[0].platform,
+            dev.platform,
+            getattr(dev.client, "platform_version", ""),
         )
     )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
@@ -126,11 +155,16 @@ def load_train_step(path: str) -> Callable:
 
     out_tree = side["out_tree"]
     call = jax.jit(
-        exported.call, donate_argnums=tuple(range(side["n_state"]))
+        exported.call,
+        donate_argnums=tuple(range(side["n_state"])),
+        # hit and miss must compile with the same options (trainer.py applies
+        # these at build time; they are not carried in the StableHLO artifact)
+        compiler_options=_compiler_options(),
     )
+    tree_checked: list = []
 
     def step(state, batch, rng, bg_weight, gates3, lr, jitters):
-        leaves = jax.tree.leaves(
+        leaves, in_tree = jax.tree.flatten(
             (
                 state,
                 batch,
@@ -141,7 +175,44 @@ def load_train_step(path: str) -> Callable:
                 jnp.asarray(jitters, jnp.float32),
             )
         )
+        if not tree_checked:
+            # The flat calling convention relies on leaf ORDER; a pytree
+            # structure drift with coincidentally matching leaf shapes would
+            # otherwise be applied silently (e.g. an optax state relayout).
+            if in_tree != side["in_tree"]:
+                raise ValueError(
+                    "argument pytree structure differs from the cached "
+                    f"artifact's (artifact {side['in_tree']}, got {in_tree})"
+                )
+            tree_checked.append(True)
         return jax.tree.unflatten(out_tree, call(*leaves))
+
+    return step
+
+
+def _with_first_call_fallback(loaded: Callable, build: Callable[[], Callable]) -> Callable:
+    """Guard an artifact step so a FIRST-CALL failure (backend refusing the
+    cached tpu_custom_call payload, pytree-structure drift) rebuilds the
+    normal jitted step instead of crashing the run after checkpoint restore.
+
+    Only the first call is guarded: a backend-compile failure raises before
+    any donated buffer is consumed, so the same args can feed the rebuilt
+    step.  Later-call failures are real errors and propagate."""
+    resolved: list = []
+
+    def step(*args):
+        if resolved:
+            return resolved[0](*args)
+        try:
+            out = loaded(*args)
+        except Exception as e:
+            warnings.warn(
+                f"AOT artifact failed at first call ({e!r}); rebuilding")
+            fn = build()
+            resolved.append(fn)
+            return fn(*args)
+        resolved.append(loaded)
+        return out
 
     return step
 
@@ -154,10 +225,14 @@ def cached_train_step(
 ) -> tuple[Callable, str]:
     """Cache-or-build orchestration for the train CLIs.
 
-    Hit: deserialize + return the artifact step (skips trace/lower).
-    Miss: ``build()`` the normal jitted step, export it into the cache for
-    next time, and return the built step (this run compiles normally — the
-    export reuses the same trace work the first call needs anyway).
+    Hit: deserialize + return the artifact step (skips trace/lower); a
+    first-call failure (e.g. the backend rejecting a stale Pallas payload)
+    falls back to a normal build.
+    Miss: ``build()`` the normal jitted step, export it into the cache
+    (ONE client-side trace+lower), then return the just-written artifact's
+    loaded step — the built jit is lazy and has not traced yet, so this
+    avoids paying the minutes-long client-side lowering a second time at the
+    first real call.
     Any export/load failure degrades to the built step with a warning.
 
     Returns ``(step, status)`` where status is "hit" | "miss" |
@@ -168,9 +243,11 @@ def cached_train_step(
     path = os.path.join(cache_dir, f"train_step_{key}.aot")
     if os.path.exists(path):
         try:
-            return load_train_step(path), "hit"
+            loaded = load_train_step(path)
         except Exception as e:  # stale/corrupt → rebuild below
             warnings.warn(f"AOT cache load failed ({e!r}); rebuilding")
+        else:
+            return _with_first_call_fallback(loaded, build), "hit"
     step = build()
     try:
         blob = export_train_step(step, example_args)
@@ -178,7 +255,13 @@ def cached_train_step(
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, path)
-        return step, "miss"
+        try:
+            # Reuse the export's lowering for THIS run too (falling back to
+            # the built step only costs a redundant trace, not correctness).
+            return _with_first_call_fallback(load_train_step(path),
+                                             lambda: step), "miss"
+        except Exception:
+            return step, "miss"
     except Exception as e:
         warnings.warn(f"AOT export failed ({e!r}); running uncached")
         return step, "export-failed"

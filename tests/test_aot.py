@@ -117,3 +117,72 @@ def test_key_sensitivity():
     k2 = train_step_cache_key({"model": "unet", "img": 64})
     k3 = train_step_cache_key({"model": "unet", "img": 32})
     assert k1 != k2 and k1 == k3
+
+
+def test_key_tracks_trace_env_knobs(monkeypatch):
+    """Every env knob read at trace time must be in the key, or flipping it
+    is silently ignored on a hit (LOSS_SUMS_USE_PALLAS switches the Pallas
+    kernel vs the jnp path; TPU_SCOPED_VMEM_KIB switches compiler options)."""
+    cfg = {"model": "unet", "img": 32}
+    base = train_step_cache_key(cfg)
+    for knob in ("LOSS_SUMS_USE_PALLAS", "TPU_SCOPED_VMEM_KIB",
+                 "AUGMENT_PER_SAMPLE", "VGG_REMAT_PREVENT_CSE"):
+        monkeypatch.setenv(knob, "1")
+        assert train_step_cache_key(cfg) != base, knob
+        monkeypatch.delenv(knob)
+    assert train_step_cache_key(cfg) == base
+
+
+def test_first_call_fallback_rebuilds():
+    """An artifact that loads but fails at its FIRST call (backend compile
+    rejection) must rebuild via the builder instead of crashing; later-call
+    failures propagate."""
+    from ecologysemanticsegmentation_tpu.train.aot import _with_first_call_fallback
+
+    calls = {"built": 0}
+
+    def bad_loaded(*args):
+        raise RuntimeError("backend rejected tpu_custom_call payload")
+
+    def build():
+        calls["built"] += 1
+        return lambda *args: ("rebuilt", args)
+
+    step = _with_first_call_fallback(bad_loaded, build)
+    with pytest.warns(UserWarning, match="failed at first call"):
+        out = step(1, 2)
+    assert out == ("rebuilt", (1, 2)) and calls["built"] == 1
+    assert step(3)[0] == "rebuilt" and calls["built"] == 1  # resolved, no rebuild
+
+    seen = {"n": 0}
+
+    def good_then_bad_loaded(*args):
+        seen["n"] += 1
+        if seen["n"] > 1:
+            raise RuntimeError("late failure")
+        return "ok"
+
+    guarded = _with_first_call_fallback(
+        good_then_bad_loaded, lambda: pytest.fail("must not rebuild"))
+    assert guarded() == "ok"
+    with pytest.raises(RuntimeError, match="late failure"):
+        guarded()  # later-call failures are real errors, no silent rebuild
+
+
+def test_in_tree_drift_detected(setup, tmp_path):
+    """The flat calling convention checks the argument pytree structure on
+    the first call: same leaves under a different structure must raise, not
+    silently apply a misassigned program."""
+    _, _, state, step, batch, example = setup
+    blob = export_train_step(step, example)
+    path = os.path.join(tmp_path, "step.aot")
+    with open(path, "wb") as f:
+        f.write(blob)
+    loaded = load_train_step(path)
+    gates3 = jnp.ones((3,), jnp.float32)
+    jitters = jnp.ones((2,), jnp.float32)
+    # batch as a (image, label) TUPLE: identical leaf order/shapes, different
+    # treedef — exactly the silent-drift case the check exists for.
+    with pytest.raises(ValueError, match="pytree structure"):
+        loaded(jax.tree.map(jnp.copy, state), (batch["image"], batch["label"]),
+               jax.random.PRNGKey(7), 0.3, gates3, 3e-4, jitters)
