@@ -34,6 +34,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--model", default="deeplabv3plus")
     ap.add_argument("--encoder", default="resnet34")
     ap.add_argument("--depthwiseconv", action="store_true")
+    ap.add_argument("--deepsupervision", action="store_true",
+                    help="Score checkpoints trained with --deepsupervision "
+                         "(builds the side-head vgg_unet so the extra "
+                         "ds_head params restore; the MAIN head is scored)")
     ap.add_argument("--union_reverse", action="store_true",
                     help="Apply the reverse union-set transform to predictions "
                          "before scoring (sequential-variant eval semantics)")
@@ -115,9 +119,14 @@ def test(args=None):
     print(f"Using batch size: {batch_size}")
     loader = Batcher(test_ds, batch_size, shuffle=False, drop_last_if_single=False)
 
+    # --deepsupervision checkpoints carry side-head params (vgg_unet only);
+    # build the matching model so they restore, then score the MAIN head
+    # (make_eval_step drops tuple side outputs).
+    model_name = "vgg_unet" if args.deepsupervision else args.model
     model = build_model(
-        args.model, num_classes=cfg.num_classes, encoder_name=args.encoder,
+        model_name, num_classes=cfg.num_classes, encoder_name=args.encoder,
         max_channels=cfg.max_channels, depthwise=args.depthwiseconv,
+        deepsupervision=args.deepsupervision,
     )
     template = create_train_state(
         model, jax.random.PRNGKey(0), (1, cfg.img_size, cfg.img_size, 3), make_optimizer()

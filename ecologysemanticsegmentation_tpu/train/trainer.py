@@ -326,6 +326,12 @@ def make_eval_step(model, apply_union_reverse: bool = False) -> Callable:
             images,
             train=False,
         )
+        if isinstance(out, tuple):
+            # deep-supervision models return (main, side_heads); evaluation
+            # scores the MAIN head (the side heads exist only as training
+            # losses — reference's promised deepsupervision semantics).  The
+            # side heads are dead here, so XLA drops their compute entirely.
+            out = out[0]
         probs = jax.nn.sigmoid(out.astype(jnp.float32))
         scored = probs
         if apply_union_reverse:
@@ -354,6 +360,8 @@ def make_forward(model) -> Callable:
             images.astype(jnp.bfloat16),
             train=False,
         )
+        if isinstance(out, tuple):  # deep-supervision: main head only
+            out = out[0]
         return jax.nn.sigmoid(out.astype(jnp.float32))
 
     return forward

@@ -211,7 +211,9 @@ def train(args=None):
         print(f"aot_cache: {aot_status} ({aot_dir})")
     else:
         train_step = _build_step()
-    eval_step = make_eval_step(eval_model) if not args.deepsupervision else None
+    # DS models evaluate too (main head; make_eval_step drops the side
+    # heads) — a capability you can't evaluate is half a capability.
+    eval_step = make_eval_step(eval_model)
 
     lr_at = cosine_annealing_warm_restarts(args.lr, t_0=100)
     bg_schedule = BackgroundWeightSchedule(args.num_epochs, seed=args.seed)
