@@ -31,12 +31,15 @@ this rewrite exists to close that gap):
 * geometric ops (rotate, resized-crop, hflip) use **batch-uniform** parameters so
   the bilinear gather has indices shared across the batch — one
   ``x[:, yi, xi]`` gather moving contiguous (B, C) blocks per index instead
-  of 64 divergent per-sample gathers — and **batch-uniform gates** via
-  ``lax.cond`` so ungated steps skip the gathers entirely; the OneOf blocks
-  dispatch ONE branch via ``lax.switch`` (computing all four then selecting
-  measured ~3x the winning branch's cost).  Documented deviation: the
-  reference draws these per *sample*; here per *batch* (fresh draws every
-  step, so per-image marginals over an epoch match),
+  of 64 divergent per-sample gathers — and **batch-uniform gates**; since
+  round 5 the three ops are COMPOSED into one affine and applied as ONE warp
+  under ONE ``lax.cond`` (see :func:`augment_batch` docstring for the
+  marginal-preserving gate hoisting), so a step pays at most one resampling
+  and one cond boundary; the OneOf blocks dispatch ONE branch via
+  ``lax.switch`` (computing all four then selecting measured ~3x the winning
+  branch's cost).  Documented deviation: the reference draws these per
+  *sample*; here per *batch* (fresh draws every step, so per-image marginals
+  over an epoch match),
 * channel shuffle is a (B,3,3) permutation-matrix einsum (MXU),
 * CLAHE builds its histogram from a 4× subsampled luminance via a one-hot
   reduction and applies the LUT with ``take_along_axis`` on a 32-entry table,
@@ -505,6 +508,49 @@ def _one_of(key, p, fns, x):
     return jnp.where(gate, out, x)
 
 
+def _affine_row(*vals):
+    return jnp.stack([jnp.asarray(v, jnp.float32).reshape(()) for v in vals])
+
+
+def _composed_warp_coords(h, w, crop_g, top, left, ch, cw, flip_g, rot_g, degree):
+    """Compose crop -> hflip -> rotate into ONE affine coordinate field.
+
+    Each op's 3x3 homogeneous matrix maps OUTPUT coords to its input coords
+    and is gated to identity by its batch-uniform Bernoulli, so the final
+    ``src = M_crop @ M_flip @ M_rot @ out`` sampling applies exactly the ops
+    that fired as a single resampling (sequential resampling applied up to
+    two bilinear passes per step; the composition is the same continuous map
+    with one interpolation — strictly less blur)."""
+    eye = jnp.eye(3, dtype=jnp.float32)
+    theta = jnp.deg2rad(degree)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    m_rot = jnp.stack([
+        _affine_row(cos, sin, cy - cos * cy - sin * cx),
+        _affine_row(-sin, cos, cx + sin * cy - cos * cx),
+        _affine_row(0.0, 0.0, 1.0),
+    ])
+    m_rot = jnp.where(rot_g, m_rot, eye)
+    m_flip = jnp.where(
+        flip_g,
+        jnp.asarray([[1.0, 0.0, 0.0], [0.0, -1.0, w - 1.0], [0.0, 0.0, 1.0]],
+                    jnp.float32),
+        eye,
+    )
+    m_crop = jnp.stack([
+        _affine_row(ch / h, 0.0, top + 0.5 * ch / h - 0.5),
+        _affine_row(0.0, cw / w, left + 0.5 * cw / w - 0.5),
+        _affine_row(0.0, 0.0, 1.0),
+    ])
+    m_crop = jnp.where(crop_g, m_crop, eye)
+    m = m_crop @ m_flip @ m_rot
+    yy, xx = jnp.mgrid[:h, :w]
+    yy, xx = yy.astype(jnp.float32), xx.astype(jnp.float32)
+    ys = m[0, 0] * yy + m[0, 1] * xx + m[0, 2]
+    xs = m[1, 0] * yy + m[1, 1] * xx + m[1, 2]
+    return ys, xs
+
+
 @jax.jit
 def augment_batch(key: jax.Array, images: jax.Array, masks: jax.Array):
     """Augment an NHWC batch (images in [0,1]) + masks jointly. Pure/jittable.
@@ -514,21 +560,38 @@ def augment_batch(key: jax.Array, images: jax.Array, masks: jax.Array):
     ~15 full-batch passes is a direct step-time win.  Coordinates, histograms
     and PCA stay f32.  Returns bfloat16 (the train step consumes bf16; mask
     values are exactly {-1, 0, 1} either way).
+
+    Geometry (round 5): crop, hflip and rotate are composed into ONE affine
+    gather under ONE ``lax.cond`` (:func:`_composed_warp_coords`), at the
+    crop's pipeline position.  The previous three separate conds each paid a
+    fusion-boundary + identity-branch copy (the r4 residual experiment
+    attributed ~2 ms of the augmentation cost to such boundary effects), and
+    crop+rotate steps paid two resamplings.  Documented deviations on top of
+    the batch-uniform parameter draw: (a) the geometric gates are hoisted out
+    of the per-sample outer p=0.7 gate with marginal-preserving probabilities
+    (crop 0.7*0.3=0.21, flip 0.7*0.5=0.35; rotate was already outside), so a
+    sample's crop/flip no longer co-occurs with its photometric block,
+    (b) rotation now happens BEFORE FancyPCA/CLAHE, whose statistics see the
+    reflect101-resampled border pixels (interior pixel population unchanged).
+    Flip-only steps (no crop/rotate fired) keep the cheap pure-reversal form
+    instead of paying the 4-gather bilinear warp.
     """
     b, h, w, _ = images.shape
     keys = jax.random.split(key, 14)
-    (k_outer, k_blur, k_color, k_rrc_p, k_rrc, k_flip, k_pca, k_shuf, k_gray,
+    (k_outer, k_blur, k_color, k_crop_p, k_crop, k_flip, k_pca, k_shuf, k_gray,
      k_hsv, k_clahe, k_rot, k_tone, k_extra) = keys
 
     img, mask = images.astype(jnp.bfloat16), masks.astype(jnp.bfloat16)
     outer = _gate(k_outer, 0.7, b)
 
-    # --- composed block (albumentations Compose p=0.7)
+    # --- photometric compose block part 1 (albumentations Compose p=0.7)
     x = _one_of(k_blur, 0.4, [_defocus, _gauss_blur, _zoom_blur, _fog], img)
     x = _one_of(k_color, 0.4, [_color_jitter, _brightness_contrast, _gamma, _emboss], x)
+    img = jnp.where(outer, x, img)
 
-    # random-resized-crop: batch-uniform box, per-sample gate
-    ks1, ks2, ks3, ks4 = jax.random.split(k_rrc, 4)
+    # --- composed geometry: crop (p=.21) -> hflip (p=.35) -> rotate (p=.4),
+    # batch-uniform gates + parameters, ONE warp under ONE cond
+    ks1, ks2, ks3, ks4 = jax.random.split(k_crop, 4)
     scale = jax.random.uniform(ks1, (), minval=0.08, maxval=1.0)
     log_ratio = jax.random.uniform(ks2, (), minval=np.log(0.75), maxval=np.log(4 / 3))
     area = scale * h * w
@@ -536,38 +599,39 @@ def augment_batch(key: jax.Array, images: jax.Array, masks: jax.Array):
     ch = jnp.clip(jnp.sqrt(area / jnp.exp(log_ratio)), 8.0, h)
     top = jax.random.uniform(ks3, ()) * (h - ch)
     left = jax.random.uniform(ks4, ()) * (w - cw)
-    cys, cxs = _crop_coords(h, w, top, left, ch, cw)
-    # batch-uniform gate via cond: the box is already batch-uniform, so the
-    # warp either applies to the whole batch or is skipped — ungated steps
-    # (70%) pay nothing for the gathers
-    crop_gate = jax.random.bernoulli(k_rrc_p, 0.3)
-    x, m = jax.lax.cond(
-        crop_gate,
-        lambda xi, mi: (_bilinear_warp(xi, cys, cxs), _nearest_warp(mi, cys, cxs)),
-        lambda xi, mi: (xi, mi),
-        x, mask,
-    )
+    crop_g = jax.random.bernoulli(k_crop_p, 0.7 * 0.3)
+    flip_g = jax.random.bernoulli(k_flip, 0.7 * 0.5)
+    # Arotate: degree U[0,90) with 20% chance of 0 (batch-uniform), p=0.4
+    kd1, kd2, kg = jax.random.split(k_rot, 3)
+    degree = jax.random.randint(kd1, (), 0, 90).astype(jnp.float32)
+    degree = jnp.where(jax.random.bernoulli(kd2, 0.2), 0.0, degree)
+    rot_g = jax.random.bernoulli(kg, 0.4)
+    ys, xs = _composed_warp_coords(
+        h, w, crop_g, top, left, ch, cw, flip_g, rot_g, degree)
 
-    # Batch-uniform hflip via lax.cond, like the warps: the per-sample
-    # where(gate, rev(x), x) form costs an unconditional reversal pass PLUS a
-    # select pass for image and mask (~1.4 ms/step measured in the profile);
-    # the cond pays one reversal on half the steps.  Per-image flip marginals
-    # over an epoch are identical (fresh batch-level draw every step).
-    x, m = jax.lax.cond(
-        jax.random.bernoulli(k_flip, 0.5),
-        lambda xi, mi: (xi[:, :, ::-1], mi[:, :, ::-1]),
-        lambda xi, mi: (xi, mi),
-        x, m,
-    )
+    def _warp(xi, mi):
+        return _bilinear_warp(xi, ys, xs), _nearest_warp(mi, ys, xs)
 
+    def _no_warp(xi, mi):
+        # flip-only steps: a reversal is far cheaper than a 4-gather warp
+        return jax.lax.cond(
+            flip_g,
+            lambda a, mk: (a[:, :, ::-1], mk[:, :, ::-1]),
+            lambda a, mk: (a, mk),
+            xi, mi,
+        )
+
+    img, mask = jax.lax.cond(
+        jnp.logical_or(crop_g, rot_g), _warp, _no_warp, img, mask)
+
+    # --- photometric compose block part 2 (SAME outer draw, so the
+    # within-sample joint between the OneOf blocks and pca/shuffle/gray is
+    # exactly the reference's Compose semantics)
     kp1, kp2 = jax.random.split(k_pca)
-    x = jnp.where(_gate(kp1, 0.3, b), _fancy_pca(kp2, x), x)
+    img = jnp.where(outer & _gate(kp1, 0.3, b), _fancy_pca(kp2, img), img)
     ksh1, ksh2 = jax.random.split(k_shuf)
-    x = jnp.where(_gate(ksh1, 0.5, b), _channel_shuffle(ksh2, x), x)
-    x = jnp.where(_gate(k_gray, 0.3, b), _to_gray(None, x), x)
-
-    img = jnp.where(outer, x, img)
-    mask = jnp.where(outer, m, mask)
+    img = jnp.where(outer & _gate(ksh1, 0.5, b), _channel_shuffle(ksh2, img), img)
+    img = jnp.where(outer & _gate(k_gray, 0.3, b), _to_gray(None, img), img)
 
     # --- independent tail
     kh1, kh2 = jax.random.split(k_hsv)
@@ -575,20 +639,6 @@ def augment_batch(key: jax.Array, images: jax.Array, masks: jax.Array):
     kc1, kc2 = jax.random.split(k_clahe)
     clahe_fn = _clahe_tiled if TILED_CLAHE else _clahe
     img = jnp.where(_gate(kc1, 0.7, b), clahe_fn(kc2, img), img)
-
-    # Arotate: degree U[0,90) with 20% chance of 0 (batch-uniform), p=0.4
-    # batch-uniform gate (angle is already batch-uniform; ungated steps skip
-    # the warp gathers entirely)
-    kd1, kd2, kg = jax.random.split(k_rot, 3)
-    degree = jax.random.randint(kd1, (), 0, 90).astype(jnp.float32)
-    degree = jnp.where(jax.random.bernoulli(kd2, 0.2), 0.0, degree)
-    rys, rxs = _rotate_coords(h, w, degree)
-    img, mask = jax.lax.cond(
-        jax.random.bernoulli(kg, 0.4),
-        lambda xi, mi: (_bilinear_warp(xi, rys, rxs), _nearest_warp(mi, rys, rxs)),
-        lambda xi, mi: (xi, mi),
-        img, mask,
-    )
 
     kt1, kt2 = jax.random.split(k_tone)
     img = jnp.where(_gate(kt1, 0.5, b), _tone_curve(kt2, img), img)

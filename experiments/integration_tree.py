@@ -90,8 +90,13 @@ def _coco_txt_lines(mask: np.ndarray, size: int, organs=ORGANS) -> list[str]:
     return lines
 
 
-def build_tree(root: str, seed: int = 4) -> dict:
-    """Build ``<root>/data`` and return a summary of what was written."""
+def build_tree(root: str, seed: int = 4, n_coco: int = 60, n_mlts_batches: int = 3,
+               n_mlts_per_batch: int = 20, n_suim: int = 40, n_df: int = 40) -> dict:
+    """Build ``<root>/data`` and return a summary of what was written.
+
+    Counts are parameterized so experiments/index_scale.py can materialize
+    the reference's documented OOM point (~2,534 images,
+    fish_coco_annotator.py:166-172) from the same generators."""
     data = os.path.join(root, "data")
     rng = np.random.RandomState(seed)
     counts = {}
@@ -100,7 +105,7 @@ def build_tree(root: str, seed: int = 4) -> dict:
     coco = os.path.join(data, "Cichlid Picture Collection REVISED (UPDATED)",
                         "Annotated Photos")
     os.makedirs(coco, exist_ok=True)
-    for i in range(60):
+    for i in range(n_coco):
         size = int(rng.randint(200, 401))
         bgr, mask = _fish(rng, size)
         img_path = os.path.join(coco, f"cichlid_{i:03d}.jpg")
@@ -127,18 +132,18 @@ def build_tree(root: str, seed: int = 4) -> dict:
         else:
             with open(txt_path, "w") as f:
                 f.write("\n".join(_coco_txt_lines(mask, size)))
-    counts["alvaradolab"] = 60
+    counts["alvaradolab"] = n_coco
 
     # --- ml_training_set (organ folders)
     mlts_root = os.path.join(data, "Machine learning training set")
     n = 0
-    for b in range(3):
+    for b in range(n_mlts_batches):
         batch = os.path.join(mlts_root, f"Batch {b + 1}")
         os.makedirs(os.path.join(batch, "original image"), exist_ok=True)
         for organ in ORGANS:
             os.makedirs(os.path.join(batch, organ.replace("_", " ")),
                         exist_ok=True)
-        for i in range(20):
+        for i in range(n_mlts_per_batch):
             size = int(rng.randint(220, 380))
             bgr, mask = _fish(rng, size)
             stem = f"b{b}_fish_{i:02d}"
@@ -170,7 +175,7 @@ def build_tree(root: str, seed: int = 4) -> dict:
     suim_msk = os.path.join(data, "SUIM", "SUIM", "train_val", "masks")
     os.makedirs(suim_img, exist_ok=True)
     os.makedirs(suim_msk, exist_ok=True)
-    for i in range(40):
+    for i in range(n_suim):
         size = int(rng.randint(200, 401))
         bgr, mask = _fish(rng, size)
         imops.imwrite_bgr(os.path.join(suim_img, f"suim_{i:03d}.jpg"), bgr)
@@ -185,13 +190,13 @@ def build_tree(root: str, seed: int = 4) -> dict:
                 f.write(b"BMjunk")
         else:
             imops.imwrite_bgr(mpath, suim)
-    counts["suim"] = 40
+    counts["suim"] = n_suim
 
     # --- Deep Fish
     df = os.path.join(data, "Deep Fish")
     df_json = os.path.join(df, "json")
     os.makedirs(df_json, exist_ok=True)
-    for i in range(40):
+    for i in range(n_df):
         size = int(rng.randint(200, 401))
         bgr, mask = _fish(rng, size)
         imops.imwrite_bgr(os.path.join(df, f"df_{i:03d}.jpg"), bgr)
@@ -207,7 +212,7 @@ def build_tree(root: str, seed: int = 4) -> dict:
             regions = [[{"x": int(x), "y": int(y)} for x, y in cnt]]
         with open(jpath, "w") as f:
             json.dump({"labels": [{"regions": regions}]}, f)
-    counts["deepfish_segclsloc"] = 40
+    counts["deepfish_segclsloc"] = n_df
 
     return counts
 

@@ -183,6 +183,69 @@ def test_pipeline_marginal_rates(rng):
     assert changed / total > 0.85
 
 
+def test_composed_warp_matches_sequential_ops(rng):
+    """The single composed affine gather (round 5) equals applying crop, then
+    hflip, then rotate as separate resamplings — up to the one-vs-two
+    interpolation difference for images; masks (nearest, single rounding)
+    are compared by mismatch fraction."""
+    h = w = 64
+    # smooth image + blocky mask: sequential resampling interpolates twice,
+    # the composition once — they agree up to O(curvature * scale^2), so the
+    # comparison needs band-limited inputs (white noise would diverge by O(1))
+    img = np.kron(rng.rand(2, 8, 8, 3), np.ones((1, 8, 8, 1))).astype(np.float32)
+    img = cv2.GaussianBlur(img.reshape(2 * h, w, 3), (9, 9), 3.0).reshape(2, h, w, 3)
+    mask = np.kron(
+        rng.choice([0.0, 1.0, -1.0], size=(2, 8, 8, 3)), np.ones((1, 8, 8, 1))
+    ).astype(np.float32)
+    top, left, ch, cw = 7.0, 11.0, 40.0, 48.0
+    deg = 33.0
+    t = jnp.bool_(True)
+
+    ys, xs = A._composed_warp_coords(
+        h, w, t, jnp.float32(top), jnp.float32(left), jnp.float32(ch),
+        jnp.float32(cw), t, t, jnp.float32(deg))
+    ours = np.asarray(A._bilinear_warp(jnp.asarray(img), ys, xs))
+    ours_m = np.asarray(A._nearest_warp(jnp.asarray(mask), ys, xs))
+
+    cys, cxs = A._crop_coords(h, w, top, left, ch, cw)
+    step1 = A._bilinear_warp(jnp.asarray(img), cys, cxs)[:, :, ::-1]
+    step1_m = A._nearest_warp(jnp.asarray(mask), cys, cxs)[:, :, ::-1]
+    rys, rxs = A._rotate_coords(h, w, jnp.float32(deg))
+    ref = np.asarray(A._bilinear_warp(step1, rys, rxs))
+    ref_m = np.asarray(A._nearest_warp(step1_m, rys, rxs))
+
+    # Compare where the rotation stays in-bounds: outside it the sequential
+    # form reflects the cropped INTERMEDIATE while the composition reflects
+    # the ORIGINAL source — a documented border-semantics deviation (both are
+    # valid reflect101 augmentations).  In-bounds, the two differ only by
+    # one-vs-two interpolations.
+    valid = np.asarray(
+        (rys >= 0) & (rys <= h - 1) & (rxs >= 0) & (rxs <= w - 1))
+    valid = valid & (  # one-pixel erosion: skip straddling footprints
+        np.roll(valid, 1, 0) & np.roll(valid, -1, 0)
+        & np.roll(valid, 1, 1) & np.roll(valid, -1, 1))
+    assert valid.mean() > 0.5  # the comparison actually covers the interior
+    v = np.broadcast_to(valid[None, :, :, None], ours.shape)
+    np.testing.assert_allclose(ours[v], ref[v], atol=0.08)
+    assert np.mean(ours_m[v] != ref_m[v]) < 0.05
+    assert set(np.unique(ours_m)).issubset({0.0, 1.0, -1.0})
+
+    # gates off -> identity coordinates
+    f = jnp.bool_(False)
+    ys0, xs0 = A._composed_warp_coords(
+        h, w, f, jnp.float32(top), jnp.float32(left), jnp.float32(ch),
+        jnp.float32(cw), f, f, jnp.float32(deg))
+    yy, xx = np.mgrid[:h, :w]
+    np.testing.assert_allclose(np.asarray(ys0), yy, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xs0), xx, atol=1e-5)
+
+    # flip-only composition is the exact reversal map
+    ysf, xsf = A._composed_warp_coords(
+        h, w, f, jnp.float32(top), jnp.float32(left), jnp.float32(ch),
+        jnp.float32(cw), t, f, jnp.float32(deg))
+    np.testing.assert_allclose(np.asarray(xsf), xx[:, ::-1], atol=1e-5)
+
+
 def test_per_sample_variant_matches_singleton_calls(rng):
     """augment_batch_per_sample's definition: sample i == the shipped
     pipeline run on the singleton batch [i] with key split(key, B)[i]."""
