@@ -12,6 +12,16 @@ training: ``--aot_cache DIR`` on the train CLIs serializes the jitted step
 with the same config deserialize StableHLO and go straight to the backend
 compile.
 
+MEASURED CAVEAT (round 5, ``experiments/aot_train_ab.jsonl``): on a
+remote-compile RELAY backend (axon) the artifact path is a net loss — the
+relay's program cache serves normal jit across processes (76-82 s warm)
+but misses the exported-call wrapper (402-1,057 s for the same program),
+while the client lowering avoided costs only ~4 s there.  The train CLIs
+print a warning on such backends.  On a directly-attached TPU host, where
+the client-side lowering dominates cold start (the serving numbers above),
+the cache is the right call.  Steady-state artifact dispatch overhead:
++5 ms/step (flat-convention flatten/unflatten) at 97 ms steps.
+
 Design notes (TPU-first, reference has no analog — torch re-traces nothing
 but pays Python dispatch every step instead):
 
@@ -164,6 +174,16 @@ def load_train_step(path: str) -> Callable:
     tree_checked: list = []
 
     def step(state, batch, rng, bg_weight, gates3, lr, jitters):
+        if not tree_checked:
+            # Commit the state leaves to the device BEFORE the first call.
+            # From call 2 on, the state is this step's own output — COMMITTED
+            # arrays — and jit's cache keys on the argument sharding mapping:
+            # an uncommitted-state first call (eagerly-initialized params)
+            # would compile once with UnspecifiedValue mappings and then
+            # AGAIN at call 2 with committed ones.  Through a remote-compile
+            # relay that second compile costs ~44 s (measured,
+            # experiments/aot_train_ab.jsonl hit leg later_steps_ms).
+            state = jax.device_put(state, jax.devices()[0])
         leaves, in_tree = jax.tree.flatten(
             (
                 state,

@@ -182,6 +182,17 @@ def train(args=None):
         print("--aot_cache is single-device only (sharded programs carry "
               "mesh state the artifact does not); running uncached")
         aot_dir = None
+    if aot_dir and "axon" in getattr(
+            jax.devices()[0].client, "platform_version", ""):
+        # Measured on this relay platform (experiments/aot_train_ab.jsonl):
+        # the relay's program cache serves normal jit (~76-82 s warm) but
+        # misses deserialized StableHLO artifacts (402-1,057 s), while the
+        # client-side lowering the cache avoids costs only ~4 s here — the
+        # artifact path is a net LOSS through a remote-compile relay. It
+        # stays available for directly-attached TPU hosts, where client
+        # lowering dominates cold-start (serving A/B: 842.9 -> 25.4 s).
+        print("--aot_cache on a relay-mediated backend is a measured net "
+              "loss (see RESULTS.md round 5); proceeding anyway")
     if aot_dir:
         from .train.aot import cached_train_step
 

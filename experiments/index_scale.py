@@ -95,8 +95,13 @@ def measure_phase(workdir: str) -> None:
     import_s = time.perf_counter() - t0
 
     cfg = EnvConfig.from_env()
+    # Both type surfaces: the reference's default train set is composite-only
+    # (fish_dataset.py:46 exact type match — suim/deepfish are type
+    # "segmentation"), but the OOM claim covers the scan machinery, so the
+    # FULL four-loader surface is what get_split_datasets indexes here.
     t0 = time.perf_counter()
-    train, val, test = get_split_datasets(cfg)
+    train, val, test = get_split_datasets(
+        cfg, dataset_type=("segmentation/composite", "segmentation"))
     index_s = time.perf_counter() - t0
     n_total = len(train) + len(val) + len(test)
     rss_after_index, hwm_after_index = _rss_mb(), _hwm_mb()

@@ -186,3 +186,52 @@ def test_in_tree_drift_detected(setup, tmp_path):
     with pytest.raises(ValueError, match="pytree structure"):
         loaded(jax.tree.map(jnp.copy, state), (batch["image"], batch["label"]),
                jax.random.PRNGKey(7), 0.3, gates3, 3e-4, jitters)
+
+
+def test_loaded_step_compiles_once_across_state_commit_flip(setup, tmp_path):
+    """A loaded artifact step must not recompile at its SECOND call.
+
+    create_train_state leaves are (partly) uncommitted; from call 2 on the
+    state is the step's own committed output, and jit(exported.call) keys on
+    the argument sharding mapping (plain jit of a pytree function does not) —
+    without the first-call device_put in load_train_step.step this costs a
+    full second backend compile (~44 s through the axon relay, measured in
+    experiments/aot_train_ab.jsonl)."""
+    _, _, state, step, batch, example = setup
+    blob = export_train_step(step, example)
+    path = os.path.join(tmp_path, "step.aot")
+    with open(path, "wb") as f:
+        f.write(blob)
+    loaded = load_train_step(path)
+
+    import logging
+
+    compiles = []
+
+    class _H(logging.Handler):
+        def emit(self, rec):
+            if "Compiling" in rec.getMessage():
+                compiles.append(rec.getMessage())
+
+    h = _H()
+    logger = logging.getLogger("jax._src.interpreters.pxla")
+    logger.addHandler(h)
+    state0 = jax.tree.map(jnp.copy, state)  # the fixture state is shared;
+    # this step donates (consumes) its input
+    try:
+        with jax.log_compiles():
+            s1, m1 = loaded(state0, batch, jax.random.PRNGKey(7), 0.3,
+                            jnp.ones((3,), jnp.float32), 3e-4,
+                            jnp.ones((2,), jnp.float32))
+            float(m1["loss"])
+            n_first = len(compiles)
+            s2, m2 = loaded(s1, batch, jax.random.PRNGKey(8), 0.3,
+                            jnp.ones((3,), jnp.float32), 3e-4,
+                            jnp.ones((2,), jnp.float32))
+            float(m2["loss"])
+    finally:
+        logger.removeHandler(h)
+    assert n_first >= 1  # the first call did compile (sanity on the probe)
+    assert len(compiles) == n_first, (
+        f"second call recompiled: {compiles[n_first:]}")
+    assert int(s2.step) == 2
