@@ -11,6 +11,7 @@ device->host scalar fetch for timing).  Batch defaults to 128 @ 256px.
 
 Run: python experiments/vgg_remat_bench.py [steps]
 Env: VGG_REMAT_BATCH=N  override the batch size (default 128)
+     VGG_REMAT_IMG=N    override the image size (default 256)
      VGG_REMAT_ONLY=0|1 run a single leg (0 = plain, 1 = remat)
 """
 
@@ -25,7 +26,7 @@ import json
 import sys
 import time
 
-IMG = 256
+IMG = int(_os.environ.get("VGG_REMAT_IMG", "256"))
 ORGANS = 3
 BATCH = int(_os.environ.get("VGG_REMAT_BATCH", "128"))
 ONLY = _os.environ.get("VGG_REMAT_ONLY")  # "0"/"1" to run a single leg
