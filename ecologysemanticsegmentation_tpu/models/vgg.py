@@ -58,6 +58,16 @@ Dtype = Any
 # while XLA *may* CSE some recomputation back.  VGG_REMAT_PREVENT_CSE=1
 # restores the strict barriers for backends that accept them.  Read at
 # trace time.
+#
+# MEASURED MEMORY CLAIM (round 5, b192 @ 256px differential OOM reports,
+# /tmp/vgg_remat_bench.jsonl -> RESULTS.md): on this XLA/libtpu the
+# barrier-free form is a memory NO-OP — plain and remat both peak at
+# exactly 23.18G — i.e. XLA CSEs the recomputation back in full; and the
+# strict-barrier form nearly DOUBLES peak HBM (42.53G: barriers pin both
+# the saved set and replay temporaries across the schedule).  On this
+# backend ``remat=True`` is therefore cost-free but buys no batch/size
+# headroom; the flag's value is portability to backends whose scheduler
+# honors checkpoint barriers sanely.
 
 # vgg19_bn configuration "E": conv widths with 'M' max-pools.
 VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",

@@ -81,7 +81,7 @@ def main(steps=15, warmup=3):
                    "step_ms": round(dt * 1000, 2), "batch": BATCH, "img": IMG}
         except Exception as e:
             row = {"model": "vgg19bn_unet", "remat": remat,
-                   "error": f"{type(e).__name__}: {e}"[:300]}
+                   "error": f"{type(e).__name__}: {e}"[:6000]}
         print(json.dumps(row), flush=True)
         with open("/tmp/vgg_remat_bench.jsonl", "a") as f:
             f.write(json.dumps(row) + "\n")
