@@ -76,6 +76,21 @@ _LUMA = np.array([0.299, 0.587, 0.114], np.float32)
 TILED_CLAHE = os.environ.get("AUGMENT_TILED_CLAHE", "0").lower() not in (
     "0", "", "false")
 
+# AUGMENT_ALWAYS_WARP=1 removes the remaining geometry lax.cond and applies
+# the composed warp EVERY step (non-fired gates fold the affine to identity,
+# which the bilinear/nearest gathers reproduce exactly — integer coords give
+# frac=0, so v*1 + u*0 == v even in bf16; bitwise-equality test in
+# tests/test_augment_parity.py).  MEASURED SLOWER on the v5e (round 5,
+# experiments/r4_residual.jsonl *_r5ab rows: cond 69.35 ms vs always-warp
+# 70.73 ms at batch 128 @ 256px): the hypothesis was that dropping the
+# cond's ~0.43 ms of boundary copies + its fusion barrier would repay the
+# ~0.72 ms sometimes-skipped warp, but the unconditional gather costs more
+# than the cond it replaces.  The cond form stays the default; the knob
+# stays as the one-env-var re-measurement for other backends.  Read at
+# trace time, like AUGMENT_TILED_CLAHE.
+ALWAYS_WARP = os.environ.get("AUGMENT_ALWAYS_WARP", "0").lower() not in (
+    "0", "", "false")
+
 
 # --------------------------------------------------------------- conv helpers
 
@@ -621,8 +636,13 @@ def augment_batch(key: jax.Array, images: jax.Array, masks: jax.Array):
             xi, mi,
         )
 
-    img, mask = jax.lax.cond(
-        jnp.logical_or(crop_g, rot_g), _warp, _no_warp, img, mask)
+    if ALWAYS_WARP:
+        # no cond: gates folded the affine to identity/flip, which the
+        # gathers reproduce exactly (see the knob comment at module top)
+        img, mask = _warp(img, mask)
+    else:
+        img, mask = jax.lax.cond(
+            jnp.logical_or(crop_g, rot_g), _warp, _no_warp, img, mask)
 
     # --- photometric compose block part 2 (SAME outer draw, so the
     # within-sample joint between the OneOf blocks and pca/shuffle/gray is

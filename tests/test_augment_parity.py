@@ -280,3 +280,33 @@ def test_per_sample_env_flag_selects_trainer_augment(monkeypatch):
         re_aug = importlib.reload(aug_mod)
         re_trainer = importlib.reload(trainer_mod)
     assert re_trainer.augment_batch is re_aug.augment_batch
+
+
+def test_always_warp_flag_is_bitwise_identical(monkeypatch, rng):
+    """AUGMENT_ALWAYS_WARP=1 removes the geometry ``lax.cond`` (the composed
+    warp runs every step with gates folded into the affine).  The identity /
+    flip-only affines are reproduced EXACTLY by the gathers (integer coords
+    give frac=0, so v*1 + u*0 == v even in bf16) — the two forms must be
+    bitwise identical over keys that cover fired and non-fired gates."""
+    import importlib
+
+    from ecologysemanticsegmentation_tpu.data import augment as aug_mod
+
+    images = jnp.asarray(rng.rand(3, 32, 32, 3).astype(np.float32))
+    masks = jnp.asarray(
+        rng.choice([0.0, 1.0, -1.0], size=(3, 32, 32, 3)).astype(np.float32))
+    keys = [jax.random.PRNGKey(s) for s in range(12)]
+
+    base = [aug_mod.augment_batch(k, images, masks) for k in keys]
+    monkeypatch.setenv("AUGMENT_ALWAYS_WARP", "1")
+    try:
+        re_aug = importlib.reload(aug_mod)
+        assert re_aug.ALWAYS_WARP is True
+        flat = [re_aug.augment_batch(k, images, masks) for k in keys]
+    finally:
+        monkeypatch.delenv("AUGMENT_ALWAYS_WARP")
+        re_aug = importlib.reload(aug_mod)
+    assert re_aug.ALWAYS_WARP is False
+    for (bi, bm), (fi, fm) in zip(base, flat):
+        np.testing.assert_array_equal(np.asarray(bi), np.asarray(fi))
+        np.testing.assert_array_equal(np.asarray(bm), np.asarray(fm))
